@@ -1,0 +1,135 @@
+"""Configuration dataclasses (TPU-native replacement for ref:config.py).
+
+The reference keeps a flat module of constants (paths, LRs, crop size,
+embedding dim, GPU ids — SURVEY.md C1). We use frozen dataclasses so configs
+are hashable and can be closed over by `jax.jit` as static arguments.
+
+Static-shape policy (TPU): object count, round count, and spatial dims are
+*padded to fixed buckets* so that every jitted function compiles once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Model dims (SURVEY.md §3.2)."""
+
+    # Backbone: resnet stage depths. (3, 4, 23, 3) == ResNet-101 (reference
+    # backbone, ref:networks/deeplab/backbone/resnet.py); (2, 2, 2, 2) is a
+    # tiny variant used by the test-suite.
+    backbone_depths: Tuple[int, ...] = (3, 4, 23, 3)
+    backbone_width: int = 64
+    output_stride: int = 16          # dilated stage-4, DeepLabV3+ standard
+    aspp_channels: int = 256
+    decoder_channels: int = 256
+    low_level_channels: int = 48     # DeepLabV3+ low-level projection
+    embedding_dim: int = 100         # pixel-embedding dim (ref uses ~100-d)
+    # Kernel-facing embedding dim: embeddings are zero-padded to a lane
+    # multiple so the Pallas matching kernel sees aligned tiles.
+    embedding_dim_padded: int = 128
+    feature_stride: int = 4          # final feature map stride (FEELVOS lineage)
+    head_channels: int = 256
+    ma_channels: int = 256           # interaction-feature / memory channels
+    norm: str = "gn"                 # "gn" | "bn" | "syncbn" (see parallel/syncbn.py)
+    gn_groups: int = 32
+    dtype: str = "bfloat16"          # activations; params stay float32
+
+    # Matching (SURVEY.md C3/C4)
+    local_window: int = 15           # max displacement at matching resolution
+    local_downsample: int = 2        # downsample factor for local matching
+    max_objects: int = 8             # padded object bucket, EXCLUDING background
+    # Distances >= this are "wrong label" sentinels
+    # (ref:networks/IntVOS.py WRONG_LABEL_PADDING_DISTANCE, expected).
+    wrong_label_padding_distance: float = 1e8
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparams (SURVEY.md C17/C18, ref:train_stage*.py)."""
+
+    crop_size: Tuple[int, int] = (416, 416)
+    batch_size: int = 8              # global batch across the data mesh axis
+    total_steps: int = 100_000
+    base_lr: float = 7e-3
+    backbone_lr_scale: float = 0.1   # heads learn faster than the backbone
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    poly_power: float = 0.9          # (1 - step/total)^power LR decay
+    bootstrap_ratio: float = 0.25    # top-k fraction for bootstrapped CE
+    bootstrap_warmup_steps: int = 20_000  # anneal 1.0 -> bootstrap_ratio
+    seed: int = 0
+    # Stage-2 (interaction + memory aggregation) round simulation
+    stage2_rounds: int = 3
+    stage2_prop_frames: int = 2      # frames propagated per simulated round
+    log_every: int = 50
+    checkpoint_every: int = 2000
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    """DAVIS interactive protocol parameters (SURVEY.md §1, C20)."""
+
+    image_size: Tuple[int, int] = (480, 854)   # DAVIS 480p
+    # Features are computed on the image padded to a stride-multiple.
+    pad_to: int = 16
+    max_interactions: int = 8
+    scribble_sets: int = 3
+    max_time_per_interaction: float = 30.0
+    metric_at_seconds: float = 60.0            # J&F @ 60 s report point
+    max_frames: int = 104                      # padded frame bucket (longest DAVIS val seq ~100)
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout (SURVEY.md §3.3).
+
+    The reference's only parallelism is single-node DataParallel + SyncBN
+    (ref:networks/deeplab/sync_batchnorm/). TPU-native we use a 2-D
+    jax.sharding.Mesh:
+      - 'data'    : batch sharding for training (DP)
+      - 'context' : memory-pixel sharding for global matching at scale
+                    (CP; partial min maps combined with an all-reduce-min)
+    """
+
+    data_axis: str = "data"
+    context_axis: str = "context"
+    data_parallel: int = 1
+    context_parallel: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = ModelConfig()
+    train: TrainConfig = TrainConfig()
+    eval: EvalConfig = EvalConfig()
+    mesh: MeshConfig = MeshConfig()
+    davis_root: str = "/data/DAVIS"
+    snapshot_dir: str = "snapshots"
+
+
+def tiny_test_config() -> Config:
+    """Small everything — CPU-runnable in tests (BASELINE config 1)."""
+    return Config(
+        model=ModelConfig(
+            backbone_depths=(1, 1, 1, 1),
+            backbone_width=16,
+            aspp_channels=32,
+            decoder_channels=32,
+            low_level_channels=8,
+            embedding_dim=16,
+            embedding_dim_padded=16,
+            head_channels=32,
+            ma_channels=32,
+            gn_groups=4,
+            local_window=2,
+            local_downsample=1,
+            max_objects=2,
+            dtype="float32",
+        ),
+        train=TrainConfig(crop_size=(64, 64), batch_size=2, total_steps=10),
+        eval=EvalConfig(image_size=(64, 96), max_frames=4),
+    )
