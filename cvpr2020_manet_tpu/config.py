@@ -130,6 +130,6 @@ def tiny_test_config() -> Config:
             max_objects=2,
             dtype="float32",
         ),
-        train=TrainConfig(crop_size=(64, 64), batch_size=2, total_steps=10),
-        eval=EvalConfig(image_size=(64, 96), max_frames=4),
+        train=TrainConfig(crop_size=(32, 32), batch_size=2, total_steps=10),
+        eval=EvalConfig(image_size=(32, 48), max_frames=4),
     )

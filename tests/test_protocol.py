@@ -1,0 +1,106 @@
+"""Tests for the protocol stack: scribbles, metrics, robot."""
+
+import numpy as np
+
+from cvpr2020_manet_tpu.interactive import (
+    Scribbles, annotated_frames, scribbles2mask)
+from cvpr2020_manet_tpu.interactive.metrics import (
+    f_measure, jaccard, jf_per_frame)
+from cvpr2020_manet_tpu.interactive.robot import InteractiveScribblesRobot
+from cvpr2020_manet_tpu.interactive.scribbles import (
+    bresenham, scribble_masks_per_object)
+
+
+def make_scribbles(n_frames=3, frame=1):
+    frames = [[] for _ in range(n_frames)]
+    frames[frame] = [
+        {"path": [[0.1, 0.1], [0.9, 0.5]], "object_id": 1},
+        {"path": [[0.2, 0.8], [0.6, 0.8]], "object_id": 0},
+    ]
+    return Scribbles(sequence="synth", scribbles=frames)
+
+
+def test_bresenham_connected_and_inclusive():
+    pts = bresenham((0, 0), (7, 3))
+    assert tuple(pts[0]) == (0, 0) and tuple(pts[-1]) == (7, 3)
+    steps = np.abs(np.diff(pts, axis=0)).max(axis=1)
+    assert (steps == 1).all()   # 8-connected, no gaps
+
+
+def test_scribbles2mask_labels_and_default():
+    scr = make_scribbles()
+    m = scribbles2mask(scr, (40, 60))
+    assert m.shape == (3, 40, 60)
+    assert (m[0] == -1).all() and (m[2] == -1).all()
+    assert (m[1] == 1).sum() > 10       # object stroke rasterized
+    assert (m[1] == 0).sum() > 5        # background stroke rasterized
+    assert annotated_frames(scr) == [1]
+
+
+def test_scribble_masks_per_object():
+    scr = make_scribbles()
+    m = scribbles2mask(scr, (40, 60))[1]
+    pos, neg = scribble_masks_per_object(m, num_objects=2)
+    assert pos.shape == (40, 60, 3)
+    # object-1 positives are exactly its stroke
+    assert (pos[..., 1] > 0).sum() == (m == 1).sum()
+    # for object 1, the background stroke is negative evidence
+    assert ((neg[..., 1] > 0) & (m == 0)).sum() == (m == 0).sum()
+    # positives and negatives never overlap per object
+    assert not ((pos > 0) & (neg > 0)).any()
+
+
+def test_jaccard_and_f_basics():
+    a = np.zeros((32, 32), bool)
+    a[8:24, 8:24] = True
+    assert jaccard(a, a) == 1.0
+    assert f_measure(a, a) == 1.0
+    assert jaccard(a, ~a) == 0.0
+    assert jaccard(np.zeros_like(a), np.zeros_like(a)) == 1.0
+    b = np.roll(a, 2, axis=1)
+    assert 0.0 < jaccard(a, b) < 1.0
+    assert 0.0 < f_measure(a, b) <= 1.0
+    # F is more sensitive than J to a thin boundary sliver
+    c = a.copy()
+    c[8:24, 24] = True  # grow by one column
+    assert jaccard(a, c) > 0.9
+
+
+def test_robot_scribbles_inside_error_region():
+    h, w, t = 48, 64, 4
+    gt = np.zeros((t, h, w), np.int32)
+    gt[:, 10:30, 10:30] = 1
+    pred = np.zeros_like(gt)
+    pred[:, 10:30, 10:30] = 1
+    pred[2] = 0   # frame 2 entirely misses the object
+    robot = InteractiveScribblesRobot()
+    assert robot.worst_frame(pred, gt, 1) == 2
+    scr = robot.interact("synth", pred, gt, num_objects=1)
+    assert annotated_frames(scr) == [2]
+    m = scribbles2mask(scr, (h, w))[2]
+    ys, xs = np.nonzero(m == 1)
+    assert len(ys) >= 3
+    # every scribbled pixel lies inside the false-negative region
+    err = (gt[2] == 1) & (pred[2] != 1)
+    assert err[ys, xs].all()
+
+
+def test_robot_excludes_annotated_frames():
+    h, w, t = 32, 32, 3
+    gt = np.zeros((t, h, w), np.int32)
+    gt[:, 4:20, 4:20] = 1
+    pred = np.zeros_like(gt)   # everything wrong everywhere
+    robot = InteractiveScribblesRobot()
+    f0 = robot.worst_frame(pred, gt, 1)
+    f1 = robot.worst_frame(pred, gt, 1, exclude=[f0])
+    assert f1 != f0
+
+
+def test_jf_per_frame_monotone_in_quality():
+    h, w = 32, 32
+    gt = np.zeros((2, h, w), np.int32)
+    gt[:, 8:24, 8:24] = 1
+    good = gt.copy()
+    bad = np.zeros_like(gt)
+    s = jf_per_frame(np.stack([good[0], bad[0]]), gt, 1)
+    assert s[0] > 0.99 and s[1] < 0.1
