@@ -1,0 +1,245 @@
+"""Interactive evaluation engine (SURVEY.md §4.1 call stack, TPU-native).
+
+Reference flow (ref: eval script + IntVOS, expected): per sequence, extract
+features ONCE; per round, run the interaction branch on the annotated
+frame, then sweep the propagation branch bidirectionally outward from it,
+min-fusing global maps and submitting full-video masks.
+
+TPU-native design decisions:
+- the WHOLE round (interaction + both propagation sweeps + memory updates)
+  is ONE jitted function (`_round_step`) over static (T, h, w, O) buckets:
+  no host round-trips inside a round; the scribble rasters are the only
+  host->device transfer, the argmax label maps the only device->host one
+  (BASELINE north-star).
+- the dynamic annotated-frame index is handled with `jnp.roll` so both
+  sweeps are fixed-length `lax.scan`s starting exactly at the annotated
+  frame — one compilation serves every round/frame/sequence.
+- per-frame global-map memory (T, h, w, O) and the aggregated interaction
+  memory (O, h, w, Cma) live in HBM across rounds (SURVEY.md C7/C8).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cvpr2020_manet_tpu.config import Config
+from cvpr2020_manet_tpu.interactive.scribbles import (
+    annotated_frames, scribble_masks_per_object, scribbles2mask)
+from cvpr2020_manet_tpu.models.layers import resize_bilinear
+from cvpr2020_manet_tpu.models.manet import MANet
+
+
+def pad_image_to(x: np.ndarray, multiple: int) -> np.ndarray:
+    """Pad trailing spatial edges of (..., H, W, C) to a stride multiple."""
+    h, w = x.shape[-3], x.shape[-2]
+    ph = (-h) % multiple
+    pw = (-w) % multiple
+    if ph == 0 and pw == 0:
+        return x
+    pad = [(0, 0)] * (x.ndim - 3) + [(0, ph), (0, pw), (0, 0)]
+    return np.pad(x, pad)
+
+
+def downsample_mask_max(m: np.ndarray, stride: int) -> np.ndarray:
+    """(H, W, O) -> (H/s, W/s, O) presence max-pool — thin scribble lines
+    survive downsampling to feature resolution."""
+    h, w, o = m.shape
+    return m.reshape(h // stride, stride, w // stride, stride, o).max((1, 3))
+
+
+@dataclasses.dataclass
+class SequenceState:
+    """Per-sequence device-resident state, persists across rounds."""
+    feat: jax.Array        # (T, h, w, Cd)
+    emb: jax.Array         # (T, h, w, Ce)
+    prev_masks: jax.Array  # (T, h, w, O) probabilities
+    gmap_mem: jax.Array    # (T, h, w, O) running-min global maps
+    int_mem: jax.Array     # (O, h, w, Cma)
+    round_idx: int
+    num_frames: int        # actual (unpadded) frame count
+
+
+class Evaluator:
+    """Runs a model against an `InteractiveSession`."""
+
+    def __init__(self, cfg: Config, model: MANet, variables):
+        self.cfg = cfg
+        self.model = model
+        self.variables = variables
+        self.o = cfg.model.max_objects + 1
+        self.stride = cfg.model.feature_stride
+        self._extract = jax.jit(self._extract_impl)
+        self._round = jax.jit(self._round_impl)
+        self._masks = jax.jit(self._masks_impl, static_argnames=("hw",))
+        self.round_latencies: list[float] = []
+
+    # ---------------- jitted graphs ----------------------------------- #
+
+    def _extract_impl(self, images):
+        return self.model.apply(self.variables, images,
+                                method=self.model.extract_features)
+
+    def _round_impl(self, feat, emb, pos_scr, neg_scr, annot_idx,
+                    prev_masks, gmap_mem, int_mem, is_first, obj_valid,
+                    frame_valid):
+        model, variables = self.model, self.variables
+        t, h, w, _ = feat.shape
+        o = self.o
+        neg_inf = -1e9
+
+        f_a = feat[annot_idx]
+        prev_a = prev_masks[annot_idx]
+        int_feats, int_logits = model.apply(
+            variables, f_a, pos_scr, neg_scr, prev_a, method=model.interact)
+        int_mem = model.apply(variables, int_feats, int_mem, is_first,
+                              method=model.aggregate_memory)
+        int_logits = int_logits + (1.0 - obj_valid)[None, None, :] * neg_inf
+        int_probs = jax.nn.softmax(int_logits, axis=-1)
+
+        # Matching reference labels: interaction-branch argmax, overridden
+        # by the scribbles themselves (scribbled pixels are ground truth).
+        lab = jnp.argmax(int_probs, axis=-1)
+        scribbled = jnp.max(pos_scr, axis=-1) > 0
+        scr_id = jnp.argmax(pos_scr, axis=-1)
+        lab = jnp.where(scribbled, scr_id, lab)
+        ref_onehot = jax.nn.one_hot(lab.reshape(-1), o, dtype=jnp.float32)
+        ref_onehot = ref_onehot * obj_valid[None, :]
+        ref_emb = emb[annot_idx].reshape(-1, emb.shape[-1])
+
+        def sweep(xs_feat, xs_emb, xs_prev_emb, xs_gmap):
+            def step(carry, xs):
+                f_t, e_t, e_prev, g_t = xs
+                logits, g_new = model.apply(
+                    variables, f_t, e_t, ref_emb, ref_onehot, None,
+                    g_t, e_prev, carry, int_mem, obj_valid,
+                    method=model.propagate)
+                probs = jax.nn.softmax(logits, axis=-1)
+                return probs, (probs, g_new)
+            _, ys = jax.lax.scan(
+                step, int_probs, (xs_feat, xs_emb, xs_prev_emb, xs_gmap))
+            return ys
+
+        # forward sweep: frames annot+1, annot+2, ..., (wraps, wrapped part
+        # discarded by the t > annot combine mask below)
+        roll_f = lambda x: jnp.roll(x, -(annot_idx + 1), axis=0)
+        probs_f, g_f = sweep(roll_f(feat), roll_f(emb),
+                             jnp.roll(emb, -annot_idx, axis=0),
+                             roll_f(gmap_mem))
+        probs_f = jnp.roll(probs_f, annot_idx + 1, axis=0)
+        g_f = jnp.roll(g_f, annot_idx + 1, axis=0)
+
+        # backward sweep: frames annot-1, annot-2, ..., 0 (then wraps)
+        rev = lambda x: jnp.flip(x, axis=0)
+        roll_b = lambda x: jnp.roll(rev(x), -(t - annot_idx), axis=0)
+        probs_b, g_b = sweep(roll_b(feat), roll_b(emb),
+                             jnp.roll(rev(emb), -(t - annot_idx - 1), axis=0),
+                             roll_b(gmap_mem))
+        unroll_b = lambda x: rev(jnp.roll(x, t - annot_idx, axis=0))
+        probs_b = unroll_b(probs_b)
+        g_b = unroll_b(g_b)
+
+        t_idx = jnp.arange(t)
+        sel = jnp.where(t_idx > annot_idx, 0,
+                        jnp.where(t_idx < annot_idx, 1, 2))
+        sel4 = sel[:, None, None, None]
+        probs = jnp.where(sel4 == 0, probs_f,
+                          jnp.where(sel4 == 1, probs_b,
+                                    int_probs[None]))
+        gmap = jnp.where(sel4 == 0, g_f,
+                         jnp.where(sel4 == 1, g_b, gmap_mem))
+        fv = frame_valid[:, None, None, None]
+        probs = jnp.where(fv, probs, prev_masks)
+        gmap = jnp.where(fv, gmap, gmap_mem)
+        return probs, gmap, int_mem
+
+    def _masks_impl(self, probs, *, hw):
+        """(T, h, w, O) -> (T, H, W) argmax labels at image resolution."""
+        def one(p):
+            up = resize_bilinear(p, hw)
+            return jnp.argmax(up, axis=-1).astype(jnp.int32)
+        return jax.lax.map(one, probs)
+
+    # ---------------- host orchestration ------------------------------- #
+
+    def start_sequence(self, images: np.ndarray) -> SequenceState:
+        """Extract + cache features for all frames (the once-per-video
+        cost), init memories."""
+        cfg = self.cfg
+        t_actual = images.shape[0]
+        t_pad = cfg.eval.max_frames
+        images = pad_image_to(images.astype(np.float32), cfg.eval.pad_to)
+        if t_actual < t_pad:
+            images = np.concatenate(
+                [images, np.zeros((t_pad - t_actual, *images.shape[1:]),
+                                  np.float32)])
+        feat, emb = self._extract(jnp.asarray(images))
+        t, h, w = t_pad, feat.shape[1], feat.shape[2]
+        o = self.o
+        prev = jnp.zeros((t, h, w, o), jnp.float32).at[..., 0].set(1.0)
+        return SequenceState(
+            feat=feat, emb=emb, prev_masks=prev,
+            gmap_mem=jnp.ones((t, h, w, o), jnp.float32),
+            int_mem=jnp.zeros((o, h, w, self.cfg.model.ma_channels),
+                              jnp.float32),
+            round_idx=0, num_frames=t_actual)
+
+    def run_round(self, state: SequenceState, scribbles_json: Dict[str, Any],
+                  image_hw: tuple[int, int], num_objects: int) -> np.ndarray:
+        """One interaction round. Returns (T_actual, H, W) label maps."""
+        cfg = self.cfg
+        t0 = time.perf_counter()
+        af = annotated_frames(scribbles_json)
+        annot = af[0] if af else 0
+        raster = scribbles2mask(scribbles_json, image_hw)[annot]
+        pos, neg = scribble_masks_per_object(raster, cfg.model.max_objects)
+        pos = pad_image_to(pos, cfg.eval.pad_to)
+        neg = pad_image_to(neg, cfg.eval.pad_to)
+        pos = downsample_mask_max(pos, self.stride)
+        neg = downsample_mask_max(neg, self.stride)
+
+        obj_valid = np.zeros((self.o,), np.float32)
+        obj_valid[:num_objects + 1] = 1.0
+        frame_valid = (np.arange(cfg.eval.max_frames)
+                       < state.num_frames).astype(bool)
+
+        probs, gmap, int_mem = self._round(
+            state.feat, state.emb, jnp.asarray(pos), jnp.asarray(neg),
+            jnp.asarray(annot, jnp.int32), state.prev_masks, state.gmap_mem,
+            state.int_mem, jnp.asarray(state.round_idx == 0),
+            jnp.asarray(obj_valid), jnp.asarray(frame_valid))
+        state.prev_masks, state.gmap_mem, state.int_mem = probs, gmap, int_mem
+        state.round_idx += 1
+
+        h_img, w_img = image_hw
+        h_pad = h_img + ((-h_img) % cfg.eval.pad_to)
+        w_pad = w_img + ((-w_img) % cfg.eval.pad_to)
+        masks = self._masks(probs, hw=(h_pad, w_pad))
+        masks = np.asarray(masks)[:state.num_frames, :h_img, :w_img]
+        self.round_latencies.append(time.perf_counter() - t0)
+        return masks
+
+    # ---------------- full benchmark ----------------------------------- #
+
+    def run_session(self, session) -> Dict[str, Any]:
+        """Drive an InteractiveSession to completion (SURVEY.md §4.1)."""
+        states: dict[tuple, SequenceState] = {}
+        with session as sess:
+            while sess.next():
+                seq, scribbles, first = sess.get_scribbles(only_last=True)
+                key = sess.current
+                if key not in states:
+                    images = sess.dataset.images(seq)
+                    states[key] = self.start_sequence(images)
+                st = states[key]
+                gt_hw = sess.dataset.gt_masks(seq).shape[1:]
+                masks = self.run_round(
+                    st, scribbles, gt_hw, sess.dataset.num_objects(seq))
+                sess.submit_masks(masks)
+        return session.get_global_summary()

@@ -1,0 +1,77 @@
+"""End-to-end slice: model + engine + session on the synthetic fixture
+(BASELINE config 1 — CPU-runnable PR1 reference)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cvpr2020_manet_tpu.config import tiny_test_config
+from cvpr2020_manet_tpu.data import SyntheticDataset
+from cvpr2020_manet_tpu.engine.evaluator import (
+    Evaluator, downsample_mask_max, pad_image_to)
+from cvpr2020_manet_tpu.interactive.session import InteractiveSession
+from cvpr2020_manet_tpu.models import MANet
+
+
+def test_pad_and_downsample_helpers():
+    x = np.ones((3, 30, 45, 2), np.float32)
+    p = pad_image_to(x, 16)
+    assert p.shape == (3, 32, 48, 2)
+    assert p[:, 30:, :, :].sum() == 0
+    m = np.zeros((8, 8, 2), np.float32)
+    m[3, 5, 1] = 1.0   # single thin-scribble pixel survives max-pool
+    d = downsample_mask_max(m, 4)
+    assert d.shape == (2, 2, 2)
+    assert d[0, 1, 1] == 1.0 and d.sum() == 1.0
+
+
+@pytest.fixture(scope="module")
+def eval_setup():
+    cfg = tiny_test_config()
+    ds = SyntheticDataset(image_size=cfg.eval.image_size,
+                          num_frames=cfg.eval.max_frames,
+                          num_sequences=1, num_objects=2, scribble_sets=1)
+    model = MANet(cfg.model, matching_backend="jnp")
+    h, w = cfg.eval.image_size
+    hh, ww = h // 4, w // 4
+    o = cfg.model.max_objects + 1
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)),
+        jnp.zeros((1, hh, ww, o)), jnp.zeros((1, hh, ww, o)))
+    return cfg, ds, model, variables
+
+
+def test_interactive_eval_end_to_end(eval_setup):
+    cfg, ds, model, variables = eval_setup
+    evaluator = Evaluator(cfg, model, variables)
+    session = InteractiveSession(ds, max_interactions=2)
+    summary = evaluator.run_session(session)
+
+    report = session.get_report()
+    assert not report.empty
+    # every round produced a full-video submission for every object
+    seq = ds.sequences()[0]
+    t = ds.gt_masks(seq).shape[0]
+    assert set(report.frame.unique()) == set(range(t))
+    assert set(report.object_id.unique()) == {1, 2}
+    assert report.jaccard.between(0, 1).all()
+    assert report.contour.between(0, 1).all()
+    assert 0.0 <= summary["auc"] <= 1.0
+    assert len(evaluator.round_latencies) >= 2
+
+
+def test_round_masks_shape_and_labels(eval_setup):
+    cfg, ds, model, variables = eval_setup
+    evaluator = Evaluator(cfg, model, variables)
+    seq = ds.sequences()[0]
+    state = evaluator.start_sequence(ds.images(seq))
+    scr = ds.initial_scribbles(seq, 0)
+    masks = evaluator.run_round(state, scr.to_json(),
+                                ds.gt_masks(seq).shape[1:], ds.num_objects(seq))
+    assert masks.shape == ds.gt_masks(seq).shape
+    assert masks.dtype == np.int32
+    assert masks.min() >= 0 and masks.max() <= ds.num_objects(seq)
+    assert state.round_idx == 1
+    # memory state was updated on-device
+    assert state.gmap_mem.min() < 1.0

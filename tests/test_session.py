@@ -1,0 +1,77 @@
+"""End-to-end interactive protocol tests on the synthetic fixture."""
+
+import numpy as np
+import pytest
+
+from cvpr2020_manet_tpu.data import SyntheticDataset
+from cvpr2020_manet_tpu.interactive.session import InteractiveSession
+
+
+class OracleModel:
+    """Submits ground truth after round k for k>=1 — sanity-check the
+    session bookkeeping and the report math without a neural net."""
+
+    def __init__(self, dataset):
+        self.dataset = dataset
+
+    def predict(self, seq, round_idx):
+        gt = self.dataset.gt_masks(seq)
+        if round_idx == 0:
+            return np.zeros_like(gt)
+        return gt.copy()
+
+
+def test_session_full_protocol_and_report():
+    ds = SyntheticDataset(num_sequences=2, scribble_sets=2, num_frames=3)
+    session = InteractiveSession(ds, max_interactions=3,
+                                 time_fn=_fake_clock())
+    model = OracleModel(ds)
+    rounds = {}
+    with session as sess:
+        while sess.next():
+            seq, scribbles, first = sess.get_scribbles(only_last=True)
+            key = sess.current
+            r = rounds.get(key, 0)
+            assert first == (r == 0)
+            # scribbles always annotate exactly one frame
+            frames = [i for i, s in enumerate(scribbles["scribbles"]) if s]
+            assert len(frames) == 1
+            sess.submit_masks(model.predict(seq, r))
+            rounds[key] = r + 1
+
+    # GT submitted at round 1 is perfect -> robot has nothing to correct,
+    # items end early after 2 rounds
+    assert all(v == 2 for v in rounds.values())
+    assert len(rounds) == 4                     # 2 sequences x 2 sets
+    report = session.get_report()
+    # rows: seq x set x rounds x objects x frames
+    assert len(report) == 2 * 2 * 2 * 2 * 3
+    # round 0 (all-background) scores 0, later rounds (GT) score 1
+    r0 = report[report.interaction == 0]
+    r1 = report[report.interaction == 1]
+    assert r0.jaccard.max() == 0.0
+    assert r1.jaccard.min() == 1.0 and r1.contour.min() == 1.0
+
+    summary = session.get_global_summary(max_time=10.0, at_threshold=5.0)
+    # quality jumps to 1.0 after round 1 -> AUC strictly between 0 and 1
+    assert 0.5 < summary["auc"] < 1.0
+    assert summary["metric_at_threshold"] == 1.0
+
+
+def test_session_enforces_ordering():
+    ds = SyntheticDataset(num_sequences=1, scribble_sets=1, num_frames=2)
+    session = InteractiveSession(ds, max_interactions=2)
+    with pytest.raises(RuntimeError):
+        session.submit_masks(np.zeros_like(ds.gt_masks("synth_00")))
+    assert session.next()
+    with pytest.raises(RuntimeError):
+        session.next()
+
+
+def _fake_clock():
+    state = {"t": 0.0}
+
+    def clock():
+        state["t"] += 1.0
+        return state["t"]
+    return clock
