@@ -1,0 +1,192 @@
+"""Stage-1 training: encoder + propagation (+ interaction head, jointly)
+(SURVEY.md §4.3, ref:train_stage1.py expected).
+
+Reference recipe: sample (reference frame, previous frame, current frame)
+triplets per object from DAVIS-2017 train; the reference frame's GT mask
+stands in for a round-0 interaction; propagate to the current frame with
+teacher-forced previous mask; bootstrapped CE; SGD + poly LR; single-node
+DataParallel + SyncBN.
+
+TPU-native: ONE jitted, mesh-sharded train step — batch sharded over the
+'data' axis (NamedSharding), params replicated; XLA inserts the gradient
+all-reduce over ICI. No DataParallel wrapper, no SyncBN machinery (default
+GroupNorm; `norm='syncbn'` composes with a shard_map'd step instead).
+
+Run as a script for a synthetic-data smoke train:
+    python -m cvpr2020_manet_tpu.engine.train_stage1 --steps 20 --synthetic
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cvpr2020_manet_tpu.config import Config
+from cvpr2020_manet_tpu.engine.losses import (
+    bootstrap_ratio_schedule, bootstrapped_cross_entropy)
+from cvpr2020_manet_tpu.engine.train_state import TrainState
+from cvpr2020_manet_tpu.models.layers import resize_bilinear
+from cvpr2020_manet_tpu.models.manet import MANet
+from cvpr2020_manet_tpu.parallel.mesh import (
+    batch_sharding, create_mesh, replicated_sharding)
+
+
+def _downsample_onehot(labels: jax.Array, stride: int, o: int) -> jax.Array:
+    """(H, W) int -> (H/s, W/s, O) one-hot via nearest subsampling."""
+    sub = labels[stride // 2::stride, stride // 2::stride]
+    return jax.nn.one_hot(sub, o, dtype=jnp.float32)
+
+
+def forward_sample(model: MANet, params, images, labels, obj_valid, cfg):
+    """Loss for ONE triplet sample.
+
+    images (3, H, W, 3) float; labels (3, H, W) int (0 = background);
+    obj_valid (O,).  Frames: [reference, previous, current].
+    """
+    mcfg = cfg.model
+    o = mcfg.max_objects + 1
+    s = mcfg.feature_stride
+    h, w = images.shape[1:3]
+    variables = {"params": params}
+
+    feat, emb = model.apply(variables, images,
+                            method=model.extract_features)
+    ref_oh = _downsample_onehot(labels[0], s, o)
+    prev_oh = _downsample_onehot(labels[1], s, o)
+
+    # Round-0 interaction simulated by the reference-frame GT mask
+    # (SURVEY.md §4.3: "GT of ref as round-0 interaction").
+    pos = ref_oh * obj_valid[None, None, :]
+    scribbled = jnp.max(pos, axis=-1, keepdims=True)
+    neg = (scribbled - pos) * obj_valid[None, None, :]
+    bg_prior = jnp.zeros_like(ref_oh).at[..., 0].set(1.0)
+    int_feats, int_logits = model.apply(
+        variables, feat[0], pos, neg, bg_prior, method=model.interact)
+    int_mem = model.apply(variables, int_feats,
+                          jnp.zeros_like(int_feats), True,
+                          method=model.aggregate_memory)
+
+    prop_logits, _ = model.apply(
+        variables, feat[2], emb[2],
+        emb[0].reshape(-1, emb.shape[-1]), ref_oh.reshape(-1, o), None,
+        jnp.ones((h // s, w // s, o), jnp.float32),
+        emb[1], prev_oh, int_mem, obj_valid,
+        method=model.propagate)
+
+    int_up = resize_bilinear(int_logits, (h, w))
+    prop_up = resize_bilinear(prop_logits, (h, w))
+    return int_up, prop_up
+
+
+def make_train_step(model: MANet, cfg: Config):
+    tcfg = cfg.train
+
+    def loss_fn(params, batch, step):
+        ratio = bootstrap_ratio_schedule(
+            step, tcfg.bootstrap_warmup_steps, tcfg.bootstrap_ratio)
+
+        def per_sample(images, labels, obj_valid):
+            int_up, prop_up = forward_sample(
+                model, params, images, labels, obj_valid, cfg)
+            l_int = bootstrapped_cross_entropy(int_up, labels[0], ratio)
+            l_prop = bootstrapped_cross_entropy(prop_up, labels[2], ratio)
+            return l_prop + 0.5 * l_int, (l_prop, l_int)
+
+        (loss, (l_prop, l_int)) = jax.tree_util.tree_map(
+            jnp.mean,
+            jax.vmap(per_sample)(batch["images"], batch["labels"],
+                                 batch["obj_valid"]))
+        return loss, {"loss": loss, "loss_prop": l_prop, "loss_int": l_int}
+
+    def train_step(state: TrainState, batch):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, metrics), grads = grad_fn(state.params, batch, state.step)
+        return state.apply_gradients(grads), metrics
+
+    return train_step
+
+
+class Trainer:
+    """Mesh-sharded stage-1 trainer (DP over the 'data' axis)."""
+
+    def __init__(self, cfg: Config, mesh=None, seed: int | None = None):
+        self.cfg = cfg
+        if mesh is None:
+            # data axis = largest device count that divides the batch
+            n = len(jax.devices())
+            data = next(d for d in range(min(n, cfg.train.batch_size), 0, -1)
+                        if cfg.train.batch_size % d == 0)
+            mesh = create_mesh(data=data, context=1)
+        self.mesh = mesh
+        self.model = MANet(cfg.model, matching_backend="jnp")
+        h, w = cfg.train.crop_size
+        o = cfg.model.max_objects + 1
+        rng = jax.random.PRNGKey(cfg.train.seed if seed is None else seed)
+        variables = self.model.init(
+            rng, jnp.zeros((1, h, w, 3)),
+            jnp.zeros((1, h // 4, w // 4, o)),
+            jnp.zeros((1, h // 4, w // 4, o)))
+        self.state = TrainState.create(variables["params"], cfg.train)
+
+        repl = replicated_sharding(self.mesh)
+        data = batch_sharding(self.mesh)
+        self.state = jax.device_put(self.state, repl)
+        batch_shardings = {"images": data, "labels": data, "obj_valid": data}
+        self._step = jax.jit(
+            make_train_step(self.model, cfg),
+            in_shardings=(repl, batch_shardings),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,))
+
+    def train_step(self, batch: Dict[str, np.ndarray]):
+        self.state, metrics = self._step(self.state, batch)
+        return jax.device_get(metrics)
+
+
+def synthetic_batch(cfg: Config, rng: np.random.Generator) -> Dict[str, np.ndarray]:
+    """Random moving-square triplets (smoke training / tests)."""
+    from cvpr2020_manet_tpu.data.synthetic import SyntheticDataset
+    b = cfg.train.batch_size
+    h, w = cfg.train.crop_size
+    o = cfg.model.max_objects + 1
+    n_obj = min(2, cfg.model.max_objects)
+    images = np.empty((b, 3, h, w, 3), np.float32)
+    labels = np.empty((b, 3, h, w), np.int32)
+    for i in range(b):
+        ds = SyntheticDataset(image_size=(h, w), num_frames=3,
+                              num_sequences=1, num_objects=n_obj,
+                              seed=int(rng.integers(1 << 30)))
+        seq = ds.sequences()[0]
+        images[i] = ds.images(seq)
+        labels[i] = ds.gt_masks(seq)
+    obj_valid = np.zeros((b, o), np.float32)
+    obj_valid[:, :n_obj + 1] = 1.0
+    return {"images": images, "labels": labels, "obj_valid": obj_valid}
+
+
+def main(argv=None):
+    import argparse
+    from cvpr2020_manet_tpu.config import Config, tiny_test_config
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--tiny", action="store_true")
+    args = p.parse_args(argv)
+
+    cfg = tiny_test_config() if args.tiny else Config()
+    trainer = Trainer(cfg)
+    rng = np.random.default_rng(cfg.train.seed)
+    for step in range(args.steps):
+        batch = synthetic_batch(cfg, rng)   # DAVIS pipeline: data/davis.py
+        metrics = trainer.train_step(batch)
+        if step % max(1, cfg.train.log_every // 10) == 0:
+            print(f"step {step}: " + " ".join(
+                f"{k}={float(v):.4f}" for k, v in metrics.items()))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Golden tests: Pallas bucketed matching kernel vs the jnp oracle.
+
+Runs in interpret mode on CPU (semantics-exact). Compiled-mode parity and
+throughput are exercised on real TPU by bench.py.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cvpr2020_manet_tpu.ops.matching import global_matching
+from cvpr2020_manet_tpu.ops.matching_pallas import (
+    BucketedRef, global_matching_pallas, global_matching_prepared,
+    prepare_ref)
+
+
+@pytest.mark.parametrize("nq,nk,c,o", [
+    (300, 700, 20, 3),      # ragged everything
+    (64, 64, 8, 2),         # tiny
+    (257, 1025, 128, 9),    # just past block boundaries, full C
+])
+def test_kernel_matches_oracle(rng, nq, nk, c, o):
+    q = (0.1 * rng.normal(size=(nq, c))).astype(np.float32)
+    k = (0.1 * rng.normal(size=(nk, c))).astype(np.float32)
+    onehot = np.eye(o, dtype=np.float32)[rng.integers(0, o, size=nk)]
+    valid = (rng.random(nk) > 0.3).astype(np.float32)
+    want = np.asarray(global_matching(
+        jnp.array(q), jnp.array(k), jnp.array(onehot), jnp.array(valid)))
+    got = np.asarray(global_matching_pallas(
+        jnp.array(q), jnp.array(k), jnp.array(onehot), jnp.array(valid),
+        interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_empty_object_saturates(rng):
+    q = rng.normal(size=(32, 8)).astype(np.float32)
+    k = rng.normal(size=(64, 8)).astype(np.float32)
+    onehot = np.zeros((64, 3), np.float32)
+    onehot[:, 0] = 1.0
+    got = np.asarray(global_matching_pallas(
+        jnp.array(q), jnp.array(k), jnp.array(onehot), interpret=True))
+    assert got[:, 1].min() == 1.0 and got[:, 2].min() == 1.0
+    assert got[:, 0].max() < 1.0
+
+
+def test_prepare_ref_bucketing_invariants(rng):
+    nk, c, o = 300, 16, 3
+    k = rng.normal(size=(nk, c)).astype(np.float32)
+    labels = rng.integers(0, o, size=nk)
+    onehot = np.eye(o, dtype=np.float32)[labels]
+    b = prepare_ref(jnp.array(k), jnp.array(onehot), block_k=128)
+    assert isinstance(b, BucketedRef)
+    block_obj = np.asarray(b.block_obj)
+    o_pad = 8
+    # blocks are object-sorted: object ids non-decreasing over used blocks
+    used = block_obj[block_obj < o_pad]
+    assert (np.diff(used) >= 0).all()
+    # every object's pixel count fits in its assigned blocks
+    for obj in range(o):
+        n_blocks = int((block_obj == obj).sum())
+        assert n_blocks * 128 >= (labels == obj).sum()
+    # sentinel rows have huge |k|^2 so they can never win
+    sq = np.asarray(b.sqnorm).reshape(-1)
+    n_real = (sq < 1e7).sum()
+    assert n_real == nk
+
+
+def test_prepared_path_equals_wrapper(rng):
+    nq, nk, c, o = 100, 200, 24, 4
+    q = jnp.array(rng.normal(size=(nq, c)), jnp.float32)
+    k = jnp.array(rng.normal(size=(nk, c)), jnp.float32)
+    onehot = jnp.array(np.eye(o, dtype=np.float32)[rng.integers(0, o, size=nk)])
+    b = prepare_ref(k, onehot)
+    a1 = np.asarray(global_matching_prepared(q, b, interpret=True))
+    a2 = np.asarray(global_matching_pallas(q, k, onehot, interpret=True))
+    np.testing.assert_allclose(a1, a2, atol=0)
