@@ -1,0 +1,92 @@
+"""Benchmark: 480p interactive-round propagation throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+What is measured: full flagship-model interaction rounds at DAVIS 480p
+(ResNet-101 features cached once; per round: interaction branch + TWO
+bidirectional propagation sweeps — Pallas global matching, local matching,
+decoder — + mask upsample/argmax + host transfer of the label maps).
+`value` = useful propagated frames per second per chip, i.e. T_frames /
+wall-clock round time, conservatively charging the 2x bidirectional sweep
+and all per-round overheads against throughput.
+
+vs_baseline: the reference's GPU propagation rate was not published with
+confidence (BASELINE.md: "TO VERIFY"); we use REF_GPU_PROP_FPS = 20.0 — a
+deliberately generous estimate for the reference's per-frame propagation
+(chunked 26k x 26k x 100 matching + decoder) on a paper-era GPU — so the
+ratio reported here understates the speedup rather than overstating it.
+
+Timing note: on the tunneled TPU backend, block_until_ready does not
+synchronize with device completion; every timed section ends with a
+device->host transfer (np.asarray), which does.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REF_GPU_PROP_FPS = 20.0
+FRAMES = 16          # frames per synthetic 480p sequence
+ROUNDS = 4           # timed rounds (first round = compile, excluded)
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    import jax.numpy as jnp
+
+    from cvpr2020_manet_tpu.config import Config, EvalConfig
+    from cvpr2020_manet_tpu.data import SyntheticDataset
+    from cvpr2020_manet_tpu.engine.evaluator import Evaluator
+    from cvpr2020_manet_tpu.interactive.robot import InteractiveScribblesRobot
+    from cvpr2020_manet_tpu.models import MANet
+
+    cfg = Config(eval=EvalConfig(max_frames=FRAMES))
+    h, w = cfg.eval.image_size
+    o = cfg.model.max_objects + 1
+
+    ds = SyntheticDataset(image_size=(h, w), num_frames=FRAMES,
+                          num_sequences=1, num_objects=2, scribble_sets=1)
+    seq = ds.sequences()[0]
+    gt = ds.gt_masks(seq)
+
+    model = MANet(cfg.model, matching_backend="auto")
+    hh = (h + (-h) % cfg.eval.pad_to) // 4
+    ww = (w + (-w) % cfg.eval.pad_to) // 4
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, h + (-h) % cfg.eval.pad_to,
+                   w + (-w) % cfg.eval.pad_to, 3)),
+        jnp.zeros((1, hh, ww, o)), jnp.zeros((1, hh, ww, o)))
+
+    evaluator = Evaluator(cfg, model, variables)
+    state = evaluator.start_sequence(ds.images(seq))
+
+    robot = InteractiveScribblesRobot()
+    masks = np.zeros_like(gt)
+    # warm-up round: compiles the round graph
+    scr = robot.interact(seq, masks, gt, ds.num_objects(seq))
+    masks = evaluator.run_round(state, scr.to_json(), gt.shape[1:],
+                                ds.num_objects(seq))
+    evaluator.round_latencies.clear()
+
+    for _ in range(ROUNDS):
+        scr = robot.interact(seq, masks, gt, ds.num_objects(seq))
+        masks = evaluator.run_round(state, scr.to_json(), gt.shape[1:],
+                                    ds.num_objects(seq))
+
+    p50 = float(np.median(evaluator.round_latencies))
+    fps = FRAMES / p50
+    print(json.dumps({
+        "metric": "propagation_fps_per_chip_480p",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REF_GPU_PROP_FPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

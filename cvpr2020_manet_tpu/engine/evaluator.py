@@ -75,6 +75,12 @@ class Evaluator:
         self.variables = variables
         self.o = cfg.model.max_objects + 1
         self.stride = cfg.model.feature_stride
+        backend = model.matching_backend
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+        # Pallas path: bucket the reference pixels ONCE per round
+        # (ops/matching_pallas.prepare_ref), stream the kernel per frame.
+        self.use_pallas = backend == "pallas"
         self._extract = jax.jit(self._extract_impl)
         self._round = jax.jit(self._round_impl)
         self._masks = jax.jit(self._masks_impl, static_argnames=("hw",))
@@ -113,13 +119,25 @@ class Evaluator:
         ref_onehot = ref_onehot * obj_valid[None, :]
         ref_emb = emb[annot_idx].reshape(-1, emb.shape[-1])
 
+        bucketed = None
+        if self.use_pallas:
+            from cvpr2020_manet_tpu.ops.matching_pallas import prepare_ref
+            bucketed = prepare_ref(ref_emb, ref_onehot)
+
         def sweep(xs_feat, xs_emb, xs_prev_emb, xs_gmap):
             def step(carry, xs):
                 f_t, e_t, e_prev, g_t = xs
+                gmap_override = None
+                if bucketed is not None:
+                    from cvpr2020_manet_tpu.ops.matching_pallas import (
+                        global_matching_prepared)
+                    gmap_override = global_matching_prepared(
+                        e_t.reshape(-1, e_t.shape[-1]), bucketed
+                    ).reshape(e_t.shape[0], e_t.shape[1], o)
                 logits, g_new = model.apply(
                     variables, f_t, e_t, ref_emb, ref_onehot, None,
                     g_t, e_prev, carry, int_mem, obj_valid,
-                    method=model.propagate)
+                    method=model.propagate, gmap_override=gmap_override)
                 probs = jax.nn.softmax(logits, axis=-1)
                 return probs, (probs, g_new)
             _, ys = jax.lax.scan(

@@ -41,11 +41,14 @@ def _downsample_onehot(labels: jax.Array, stride: int, o: int) -> jax.Array:
     return jax.nn.one_hot(sub, o, dtype=jnp.float32)
 
 
-def forward_sample(model: MANet, params, images, labels, obj_valid, cfg):
+def forward_sample(model: MANet, params, images, labels, obj_valid, cfg,
+                   gmap_fn=None):
     """Loss for ONE triplet sample.
 
     images (3, H, W, 3) float; labels (3, H, W) int (0 = background);
     obj_valid (O,).  Frames: [reference, previous, current].
+    gmap_fn(query (Nq,C), ref (Nk,C), ref_onehot (Nk,O)) -> (Nq, O):
+    optional external global matching (e.g. context-parallel).
     """
     mcfg = cfg.model
     o = mcfg.max_objects + 1
@@ -70,16 +73,80 @@ def forward_sample(model: MANet, params, images, labels, obj_valid, cfg):
                           jnp.zeros_like(int_feats), True,
                           method=model.aggregate_memory)
 
+    gmap_override = None
+    if gmap_fn is not None:
+        gmap_override = gmap_fn(
+            emb[2].reshape(-1, emb.shape[-1]),
+            emb[0].reshape(-1, emb.shape[-1]),
+            ref_oh.reshape(-1, o)).reshape(h // s, w // s, o)
     prop_logits, _ = model.apply(
         variables, feat[2], emb[2],
         emb[0].reshape(-1, emb.shape[-1]), ref_oh.reshape(-1, o), None,
         jnp.ones((h // s, w // s, o), jnp.float32),
         emb[1], prev_oh, int_mem, obj_valid,
-        method=model.propagate)
+        method=model.propagate, gmap_override=gmap_override)
 
     int_up = resize_bilinear(int_logits, (h, w))
     prop_up = resize_bilinear(prop_logits, (h, w))
     return int_up, prop_up
+
+
+def make_cp_train_step(model: MANet, cfg: Config, mesh):
+    """FULL training step shard_map'd over a ('data', 'context') mesh.
+
+    Batch sharded over 'data' (DP), reference pixels of the global matching
+    sharded over 'context' (SP/CP: each member computes partial min maps
+    over its shard, combined with all_gather + min — differentiable through
+    the hard min). Gradients pmean over both axes ride ICI.
+    Returns step(state, batch) -> (state, metrics), already jitted.
+    """
+    import functools
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from cvpr2020_manet_tpu.parallel.cp_matching import local_then_min
+
+    tcfg = cfg.train
+
+    def gmap_fn(query, ref, ref_onehot):
+        ctx = jax.lax.axis_size("context")
+        idx = jax.lax.axis_index("context")
+        nk = ref.shape[0]
+        shard = nk // ctx
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, idx * shard, shard, 0)
+        return local_then_min(query, sl(ref), sl(ref_onehot),
+                              jnp.ones((shard,), jnp.float32), "context")
+
+    def per_device(params, step, batch):
+        def loss_fn(params):
+            def per_sample(images, labels, obj_valid):
+                ratio = bootstrap_ratio_schedule(
+                    step, tcfg.bootstrap_warmup_steps, tcfg.bootstrap_ratio)
+                int_up, prop_up = forward_sample(
+                    model, params, images, labels, obj_valid, cfg,
+                    gmap_fn=gmap_fn)
+                l_int = bootstrapped_cross_entropy(int_up, labels[0], ratio)
+                l_prop = bootstrapped_cross_entropy(prop_up, labels[2], ratio)
+                return l_prop + 0.5 * l_int
+            return jnp.mean(jax.vmap(per_sample)(
+                batch["images"], batch["labels"], batch["obj_valid"]))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = jax.lax.pmean(jax.lax.pmean(grads, "data"), "context")
+        loss = jax.lax.pmean(jax.lax.pmean(loss, "data"), "context")
+        return loss, grads
+
+    sharded = jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P(), {"images": P("data"), "labels": P("data"),
+                             "obj_valid": P("data")}),
+        out_specs=(P(), P()),
+        check_vma=False)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step_fn(state: TrainState, batch):
+        loss, grads = sharded(state.params, state.step, batch)
+        return state.apply_gradients(grads), {"loss": loss}
+
+    return step_fn
 
 
 def make_train_step(model: MANet, cfg: Config):

@@ -17,6 +17,7 @@ features for all frames once and caches them in HBM (SURVEY.md §1,
 
 from __future__ import annotations
 
+import math
 from typing import Any, Tuple
 
 import jax
@@ -83,7 +84,8 @@ class Encoder(nn.Module):
         y = resize_bilinear(y, low.shape[1:3])
         ll = nn.Conv(cfg.low_level_channels, (1, 1), use_bias=False,
                      dtype=dtype, name="low_level_proj")(low)
-        ll = nn.relu(make_norm(cfg.norm, dtype, min(cfg.gn_groups, cfg.low_level_channels))()(ll))
+        ll_groups = math.gcd(cfg.gn_groups, cfg.low_level_channels)
+        ll = nn.relu(make_norm(cfg.norm, dtype, ll_groups)()(ll))
         y = jnp.concatenate([y, ll], axis=-1)
         for i in range(2):
             y = nn.Conv(cfg.decoder_channels, (3, 3), use_bias=False,

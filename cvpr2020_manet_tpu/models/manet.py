@@ -120,14 +120,16 @@ class MANet(nn.Module):
     # ------------------------------------------------------------------ #
 
     def propagate(self, feature_t, emb_t, ref_emb, ref_onehot, ref_valid,
-                  global_map_prev, prev_emb, prev_mask, int_memory, obj_valid):
+                  global_map_prev, prev_emb, prev_mask, int_memory, obj_valid,
+                  gmap_override=None):
         return self._propagate(
             feature_t, emb_t, ref_emb, ref_onehot, ref_valid,
-            global_map_prev, prev_emb, prev_mask, int_memory, obj_valid)
+            global_map_prev, prev_emb, prev_mask, int_memory, obj_valid,
+            gmap_override=gmap_override)
 
     def _propagate(self, feature_t, emb_t, ref_emb, ref_onehot, ref_valid,
                    global_map_prev, prev_emb, prev_mask, int_memory,
-                   obj_valid):
+                   obj_valid, gmap_override=None):
         """Propagation branch for one frame.
 
         feature_t (h, w, Cd), emb_t (h, w, Ce): current frame.
@@ -140,6 +142,9 @@ class MANet(nn.Module):
             sweep and its predicted probabilities (local matching input).
         int_memory (O, h, w, Cma): aggregated interaction features.
         obj_valid (O,): 1 for live objects (index 0 = background, live).
+        gmap_override (h, w, O) | None: externally computed global matching
+            map (e.g. context-parallel matching, parallel/cp_matching.py);
+            skips the internal matching when given.
 
         Returns (logits (h, w, O) float32, fused global map (h, w, O)).
         """
@@ -147,9 +152,12 @@ class MANet(nn.Module):
         h, w, ce = emb_t.shape
         o = global_map_prev.shape[-1]
 
-        gm = self._global_matching(
-            emb_t.reshape(-1, ce), ref_emb, ref_onehot, ref_valid)
-        gm = gm.reshape(h, w, o)
+        if gmap_override is not None:
+            gm = gmap_override
+        else:
+            gm = self._global_matching(
+                emb_t.reshape(-1, ce), ref_emb, ref_onehot, ref_valid)
+            gm = gm.reshape(h, w, o)
         gm = jnp.minimum(gm, global_map_prev)          # C8 min-fusion
 
         # Local matching against the previous frame's *predicted labels*

@@ -1,0 +1,50 @@
+"""Mesh / context-parallel matching / multi-chip dry-run tests
+(8 virtual CPU devices, SURVEY.md §5d)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cvpr2020_manet_tpu.ops import matching as M
+from cvpr2020_manet_tpu.parallel.cp_matching import context_parallel_matching
+from cvpr2020_manet_tpu.parallel.mesh import create_mesh
+
+
+def test_mesh_shapes():
+    mesh = create_mesh(data=4, context=2)
+    assert mesh.shape == {"data": 4, "context": 2}
+    mesh = create_mesh(context=2)   # data = -1 -> all remaining
+    assert mesh.shape["data"] * 2 == len(jax.devices())
+
+
+def test_cp_matching_matches_single_device(rng):
+    mesh = create_mesh(data=2, context=4)
+    nq, nk, c, o = 64, 256, 16, 3
+    q = jnp.array(rng.normal(size=(nq, c)), jnp.float32)
+    k = jnp.array(rng.normal(size=(nk, c)), jnp.float32)
+    oh = jnp.array(np.eye(o, dtype=np.float32)[rng.integers(0, o, size=nk)])
+    valid = jnp.array((rng.random(nk) > 0.4).astype(np.float32))
+    got = np.asarray(context_parallel_matching(q, k, oh, valid, mesh))
+    want = np.asarray(M.global_matching(q, k, oh, valid))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_cp_matching_differentiable_through_min(rng):
+    mesh = create_mesh(data=1, context=8)
+    nq, nk, c, o = 16, 64, 8, 2
+    q = jnp.array(rng.normal(size=(nq, c)), jnp.float32)
+    k = jnp.array(rng.normal(size=(nk, c)), jnp.float32)
+    oh = jnp.array(np.eye(o, dtype=np.float32)[rng.integers(0, o, size=nk)])
+    valid = jnp.ones((nk,), jnp.float32)
+    g = jax.grad(
+        lambda q: context_parallel_matching(q, k, oh, valid, mesh).sum())(q)
+    assert bool(jnp.isfinite(g).all())
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_dryrun_multichip():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as entry
+    entry.dryrun_multichip(8)
