@@ -1,0 +1,153 @@
+"""DAVIS dataset adapters (SURVEY.md C12/C13, ref:dataloaders/ expected).
+
+Standard DAVIS-2017 tree:
+    DAVIS/
+      JPEGImages/480p/<seq>/00000.jpg ...
+      Annotations/480p/<seq>/00000.png ...      (palettized label maps)
+      ImageSets/2017/{train,val}.txt
+      Scribbles/<seq>/001.json ... 003.json     (interactive challenge)
+
+Two adapters:
+- `DavisEvalDataset`: the interface `InteractiveSession` consumes
+  (sequences / images / gt_masks / num_objects / initial_scribbles).
+- `DavisTrainDataset`: stage-1/2 triplet/clip sampler with joint
+  augmentation (random scale, crop, horizontal flip — SURVEY.md C14),
+  emitting the {'images', 'labels', 'obj_valid'} batches the trainers eat.
+
+Decode is host-side (PIL) with per-sequence LRU caching; normalization and
+everything after batch assembly is device-side (BASELINE: fused on-device
+preprocessing — the trainers consume raw uint8-scaled floats).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+from typing import Dict, List
+
+import numpy as np
+
+from cvpr2020_manet_tpu.interactive.scribbles import Scribbles
+from cvpr2020_manet_tpu.utils.colormap import load_indexed_png
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def normalize_image(img: np.ndarray) -> np.ndarray:
+    """[0,1] float RGB -> ImageNet-normalized (reference transform C14)."""
+    return (img - IMAGENET_MEAN) / IMAGENET_STD
+
+
+class DavisEvalDataset:
+    """Interactive-evaluation adapter over a DAVIS tree."""
+
+    def __init__(self, root: str, subset: str = "val", year: str = "2017",
+                 resolution: str = "480p", scribble_sets: int = 3):
+        self.root = root
+        self.resolution = resolution
+        self.scribble_sets = scribble_sets
+        split = os.path.join(root, "ImageSets", year, f"{subset}.txt")
+        with open(split) as f:
+            self._names = [ln.strip() for ln in f if ln.strip()]
+
+    def sequences(self) -> List[str]:
+        return list(self._names)
+
+    def _frame_files(self, seq: str, kind: str, ext: str) -> List[str]:
+        d = os.path.join(self.root, kind, self.resolution, seq)
+        return sorted(os.path.join(d, f) for f in os.listdir(d)
+                      if f.endswith(ext))
+
+    @functools.lru_cache(maxsize=4)
+    def images(self, seq: str) -> np.ndarray:
+        from PIL import Image
+        files = self._frame_files(seq, "JPEGImages", ".jpg")
+        frames = [np.asarray(Image.open(f), np.float32) / 255.0
+                  for f in files]
+        return normalize_image(np.stack(frames))
+
+    @functools.lru_cache(maxsize=4)
+    def gt_masks(self, seq: str) -> np.ndarray:
+        files = self._frame_files(seq, "Annotations", ".png")
+        return np.stack([load_indexed_png(f) for f in files])
+
+    def num_objects(self, seq: str) -> int:
+        return int(self.gt_masks(seq)[0].max())
+
+    def num_scribble_sets(self, seq: str) -> int:
+        return self.scribble_sets
+
+    def initial_scribbles(self, seq: str, set_idx: int) -> Scribbles:
+        path = os.path.join(self.root, "Scribbles", seq,
+                            f"{set_idx + 1:03d}.json")
+        with open(path) as f:
+            return Scribbles.from_json(json.load(f))
+
+
+class DavisTrainDataset:
+    """Clip sampler with joint augmentation for stage-1/2 training."""
+
+    def __init__(self, root: str, cfg, subset: str = "train",
+                 year: str = "2017", clip_len: int = 3, seed: int = 0):
+        self.eval_ds = DavisEvalDataset(root, subset=subset, year=year)
+        self.cfg = cfg
+        self.clip_len = clip_len
+        self._rng = np.random.default_rng(seed)
+
+    def _augment(self, images: np.ndarray, labels: np.ndarray):
+        """Joint random scale / crop / hflip over a clip (C14)."""
+        ch, cw = self.cfg.train.crop_size
+        t, h, w = labels.shape
+        scale = self._rng.uniform(0.75, 1.25)
+        sh, sw = max(ch, int(h * scale)), max(cw, int(w * scale))
+        # nearest for labels, bilinear for images (PIL per frame)
+        from PIL import Image
+        imgs = np.stack([
+            np.asarray(Image.fromarray(
+                (np.clip(im, 0, 1) * 255).astype(np.uint8)).resize(
+                    (sw, sh), Image.BILINEAR), np.float32) / 255.0
+            for im in images])
+        labs = np.stack([
+            np.asarray(Image.fromarray(lb.astype(np.uint8)).resize(
+                (sw, sh), Image.NEAREST), np.int32)
+            for lb in labels])
+        y0 = self._rng.integers(0, sh - ch + 1)
+        x0 = self._rng.integers(0, sw - cw + 1)
+        imgs = imgs[:, y0:y0 + ch, x0:x0 + cw]
+        labs = labs[:, y0:y0 + ch, x0:x0 + cw]
+        if self._rng.random() < 0.5:
+            imgs = imgs[:, :, ::-1].copy()
+            labs = labs[:, :, ::-1].copy()
+        return normalize_image(imgs), labs
+
+    def sample_clip(self) -> Dict[str, np.ndarray]:
+        """One (ref, prev, cur) clip with remapped compact object ids."""
+        o_max = self.cfg.model.max_objects
+        seqs = self.eval_ds.sequences()
+        seq = seqs[self._rng.integers(len(seqs))]
+        gt = self.eval_ds.gt_masks(seq)
+        raw = self.eval_ds.images(seq)
+        t = gt.shape[0]
+        # reference frame + a consecutive (prev, cur) pair elsewhere
+        ref = int(self._rng.integers(t))
+        cur = int(self._rng.integers(1, t))
+        idx = [ref, cur - 1, cur][:self.clip_len] if self.clip_len == 3 \
+            else sorted(self._rng.choice(t, self.clip_len, replace=False))
+        images, labels = self._augment(raw[idx], gt[idx])
+        # compact remap of object ids present in the clip, capped at O
+        present = np.unique(labels)
+        present = present[present > 0][:o_max]
+        remap = np.zeros(int(gt.max()) + 1, np.int32)
+        for new, old in enumerate(present, start=1):
+            remap[old] = new
+        labels = remap[labels]
+        obj_valid = np.zeros((o_max + 1,), np.float32)
+        obj_valid[:len(present) + 1] = 1.0
+        return {"images": images.astype(np.float32), "labels": labels,
+                "obj_valid": obj_valid}
+
+    def batch(self, batch_size: int) -> Dict[str, np.ndarray]:
+        samples = [self.sample_clip() for _ in range(batch_size)]
+        return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
