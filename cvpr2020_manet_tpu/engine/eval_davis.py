@@ -1,0 +1,94 @@
+"""Interactive DAVIS evaluation entry point (SURVEY.md L5 eval driver).
+
+The reference's eval script wraps `DavisInteractiveSession` around IntVOS
+(SURVEY.md §4.1). Here: DAVIS adapter -> InteractiveSession -> Evaluator,
+ending in the time-vs-quality report (AUC, J&F@60s) and optional
+mask/report dumps.
+
+    python -m cvpr2020_manet_tpu.engine.eval_davis \
+        --davis_root /data/DAVIS --rounds 8 --report out/report.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_evaluator(cfg, checkpoint: str | None = None):
+    from cvpr2020_manet_tpu.engine.evaluator import Evaluator
+    from cvpr2020_manet_tpu.models import MANet
+    from cvpr2020_manet_tpu.utils.checkpoint import load_release
+
+    model = MANet(cfg.model, matching_backend="auto")
+    h, w = cfg.eval.image_size
+    hp = h + (-h) % cfg.eval.pad_to
+    wp = w + (-w) % cfg.eval.pad_to
+    o = cfg.model.max_objects + 1
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, hp, wp, 3)),
+        jnp.zeros((1, hp // 4, wp // 4, o)),
+        jnp.zeros((1, hp // 4, wp // 4, o)))
+    if checkpoint:
+        params = load_release(variables["params"], checkpoint)
+        variables = {**variables, "params": params}
+    return Evaluator(cfg, model, variables)
+
+
+def main(argv=None):
+    from cvpr2020_manet_tpu.config import Config, EvalConfig
+    from cvpr2020_manet_tpu.data.davis import DavisEvalDataset
+    from cvpr2020_manet_tpu.interactive.session import InteractiveSession
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--davis_root", required=True)
+    p.add_argument("--subset", default="val")
+    p.add_argument("--rounds", type=int, default=8)
+    p.add_argument("--scribble_sets", type=int, default=3)
+    p.add_argument("--checkpoint", default=None,
+                   help="orbax release export dir (utils/checkpoint.py)")
+    p.add_argument("--report", default=None, help="CSV path for the report")
+    p.add_argument("--max_frames", type=int, default=104)
+    p.add_argument("--image_size", type=int, nargs=2, default=(480, 854))
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny model config (smoke tests)")
+    args = p.parse_args(argv)
+
+    if args.tiny:
+        from cvpr2020_manet_tpu.config import tiny_test_config
+        base = tiny_test_config()
+    else:
+        base = Config()
+    cfg = Config(
+        model=base.model,
+        train=base.train,
+        eval=EvalConfig(max_interactions=args.rounds,
+                        scribble_sets=args.scribble_sets,
+                        max_frames=args.max_frames,
+                        image_size=tuple(args.image_size)),
+        davis_root=args.davis_root)
+    ds = DavisEvalDataset(args.davis_root, subset=args.subset,
+                          scribble_sets=args.scribble_sets)
+    evaluator = build_evaluator(cfg, args.checkpoint)
+    session = InteractiveSession(ds, max_interactions=args.rounds)
+    summary = evaluator.run_session(session)
+
+    if args.report:
+        os.makedirs(os.path.dirname(args.report) or ".", exist_ok=True)
+        session.get_report().to_csv(args.report, index=False)
+    lat = np.asarray(evaluator.round_latencies)
+    print(json.dumps({
+        "auc": round(summary["auc"], 4),
+        "jf_at_60s": round(summary["metric_at_threshold"], 4),
+        "p50_round_latency_s": round(float(np.median(lat)), 4) if lat.size else None,
+        "rounds_run": int(lat.size),
+    }))
+
+
+if __name__ == "__main__":
+    main()

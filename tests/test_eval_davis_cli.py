@@ -1,0 +1,22 @@
+"""Smoke test: the DAVIS interactive-eval CLI end-to-end on a synthetic
+on-disk DAVIS tree with the tiny model."""
+
+import json
+
+from tests.test_davis import davis_root  # fixture reuse  # noqa: F401
+
+
+def test_eval_davis_cli(davis_root, tmp_path, capsys):  # noqa: F811
+    from cvpr2020_manet_tpu.engine.eval_davis import main
+    report = str(tmp_path / "report.csv")
+    main(["--davis_root", davis_root, "--subset", "val",
+          "--rounds", "2", "--scribble_sets", "1", "--max_frames", "4",
+          "--image_size", "64", "96", "--tiny", "--report", report])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    summary = json.loads(out)
+    assert 0.0 <= summary["auc"] <= 1.0
+    assert summary["rounds_run"] >= 2
+    import pandas as pd
+    df = pd.read_csv(report)
+    assert {"sequence", "interaction", "jaccard", "contour"} <= set(df.columns)
+    assert len(df) > 0
