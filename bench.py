@@ -56,7 +56,9 @@ def main():
     model = MANet(cfg.model, matching_backend="auto")
     hh = (h + (-h) % cfg.eval.pad_to) // 4
     ww = (w + (-w) % cfg.eval.pad_to) // 4
-    variables = model.init(
+    # jit the init: eager init dispatches thousands of ops one-by-one,
+    # which is pathological through the tunneled TPU backend
+    variables = jax.jit(model.init)(
         jax.random.PRNGKey(0),
         jnp.zeros((1, h + (-h) % cfg.eval.pad_to,
                    w + (-w) % cfg.eval.pad_to, 3)),

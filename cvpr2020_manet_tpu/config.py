@@ -81,6 +81,10 @@ class EvalConfig:
     max_time_per_interaction: float = 30.0
     metric_at_seconds: float = 60.0            # J&F @ 60 s report point
     max_frames: int = 104                      # padded frame bucket (longest DAVIS val seq ~100)
+    # "min_fused": per-frame elementwise-min global-map memory (MANet
+    # semantics, SURVEY.md C8). "stacked": literal matching against ALL
+    # stored rounds' annotated pixels (BASELINE config 3/5).
+    matching_memory: str = "min_fused"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -30,7 +30,7 @@ def build_evaluator(cfg, checkpoint: str | None = None):
     hp = h + (-h) % cfg.eval.pad_to
     wp = w + (-w) % cfg.eval.pad_to
     o = cfg.model.max_objects + 1
-    variables = model.init(
+    variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, hp, wp, 3)),
         jnp.zeros((1, hp // 4, wp // 4, o)),
         jnp.zeros((1, hp // 4, wp // 4, o)))

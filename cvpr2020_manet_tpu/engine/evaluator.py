@@ -64,6 +64,10 @@ class SequenceState:
     int_mem: jax.Array     # (O, h, w, Cma)
     round_idx: int
     num_frames: int        # actual (unpadded) frame count
+    # stacked matching-memory mode only (BASELINE config 3: attention over
+    # all stored rounds): annotated pixels of every round so far
+    mem_emb: jax.Array | None = None      # (R_max * h * w, Ce)
+    mem_onehot: jax.Array | None = None   # (R_max * h * w, O)
 
 
 class Evaluator:
@@ -81,6 +85,10 @@ class Evaluator:
         # Pallas path: bucket the reference pixels ONCE per round
         # (ops/matching_pallas.prepare_ref), stream the kernel per frame.
         self.use_pallas = backend == "pallas"
+        # "min_fused" (MANet semantics: per-frame elementwise-min memory,
+        # SURVEY.md C8) or "stacked" (literal attention over ALL stored
+        # rounds' annotated pixels — BASELINE config 3/5).
+        self.memory_mode = cfg.eval.matching_memory
         self._extract = jax.jit(self._extract_impl)
         self._round = jax.jit(self._round_impl)
         self._masks = jax.jit(self._masks_impl, static_argnames=("hw",))
@@ -94,7 +102,8 @@ class Evaluator:
 
     def _round_impl(self, feat, emb, pos_scr, neg_scr, annot_idx,
                     prev_masks, gmap_mem, int_mem, is_first, obj_valid,
-                    frame_valid):
+                    frame_valid, round_idx=None, mem_emb=None,
+                    mem_onehot=None):
         model, variables = self.model, self.variables
         t, h, w, _ = feat.shape
         o = self.o
@@ -118,6 +127,18 @@ class Evaluator:
         ref_onehot = jax.nn.one_hot(lab.reshape(-1), o, dtype=jnp.float32)
         ref_onehot = ref_onehot * obj_valid[None, :]
         ref_emb = emb[annot_idx].reshape(-1, emb.shape[-1])
+
+        if self.memory_mode == "stacked":
+            # append this round's annotated pixels to the round memory and
+            # match against EVERY stored round (rows of future rounds have
+            # all-zero onehot and are gated out of the min)
+            nq = ref_emb.shape[0]
+            off = round_idx * nq
+            mem_emb = jax.lax.dynamic_update_slice(
+                mem_emb, ref_emb.astype(mem_emb.dtype), (off, 0))
+            mem_onehot = jax.lax.dynamic_update_slice(
+                mem_onehot, ref_onehot, (off, 0))
+            ref_emb, ref_onehot = mem_emb, mem_onehot
 
         bucketed = None
         if self.use_pallas:
@@ -175,6 +196,8 @@ class Evaluator:
         fv = frame_valid[:, None, None, None]
         probs = jnp.where(fv, probs, prev_masks)
         gmap = jnp.where(fv, gmap, gmap_mem)
+        if self.memory_mode == "stacked":
+            return probs, gmap, int_mem, mem_emb, mem_onehot
         return probs, gmap, int_mem
 
     def _masks_impl(self, probs, *, hw):
@@ -201,12 +224,18 @@ class Evaluator:
         t, h, w = t_pad, feat.shape[1], feat.shape[2]
         o = self.o
         prev = jnp.zeros((t, h, w, o), jnp.float32).at[..., 0].set(1.0)
+        mem_emb = mem_onehot = None
+        if self.memory_mode == "stacked":
+            m = cfg.eval.max_interactions * h * w
+            mem_emb = jnp.zeros((m, emb.shape[-1]), emb.dtype)
+            mem_onehot = jnp.zeros((m, o), jnp.float32)
         return SequenceState(
             feat=feat, emb=emb, prev_masks=prev,
             gmap_mem=jnp.ones((t, h, w, o), jnp.float32),
             int_mem=jnp.zeros((o, h, w, self.cfg.model.ma_channels),
                               jnp.float32),
-            round_idx=0, num_frames=t_actual)
+            round_idx=0, num_frames=t_actual,
+            mem_emb=mem_emb, mem_onehot=mem_onehot)
 
     def run_round(self, state: SequenceState, scribbles_json: Dict[str, Any],
                   image_hw: tuple[int, int], num_objects: int) -> np.ndarray:
@@ -227,11 +256,20 @@ class Evaluator:
         frame_valid = (np.arange(cfg.eval.max_frames)
                        < state.num_frames).astype(bool)
 
-        probs, gmap, int_mem = self._round(
-            state.feat, state.emb, jnp.asarray(pos), jnp.asarray(neg),
-            jnp.asarray(annot, jnp.int32), state.prev_masks, state.gmap_mem,
-            state.int_mem, jnp.asarray(state.round_idx == 0),
-            jnp.asarray(obj_valid), jnp.asarray(frame_valid))
+        args = (state.feat, state.emb, jnp.asarray(pos), jnp.asarray(neg),
+                jnp.asarray(annot, jnp.int32), state.prev_masks,
+                state.gmap_mem, state.int_mem,
+                jnp.asarray(state.round_idx == 0),
+                jnp.asarray(obj_valid), jnp.asarray(frame_valid))
+        if self.memory_mode == "stacked":
+            # clamp: past max_interactions, overwrite the last slot
+            r = min(state.round_idx, self.cfg.eval.max_interactions - 1)
+            probs, gmap, int_mem, mem_emb, mem_onehot = self._round(
+                *args, round_idx=jnp.asarray(r, jnp.int32),
+                mem_emb=state.mem_emb, mem_onehot=state.mem_onehot)
+            state.mem_emb, state.mem_onehot = mem_emb, mem_onehot
+        else:
+            probs, gmap, int_mem = self._round(*args)
         state.prev_masks, state.gmap_mem, state.int_mem = probs, gmap, int_mem
         state.round_idx += 1
 

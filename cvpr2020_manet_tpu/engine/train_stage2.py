@@ -189,7 +189,7 @@ class Stage2Trainer:
         h, w = cfg.train.crop_size
         o = cfg.model.max_objects + 1
         rng = jax.random.PRNGKey(cfg.train.seed if seed is None else seed)
-        variables = self.model.init(
+        variables = jax.jit(self.model.init)(
             rng, jnp.zeros((1, h, w, 3)),
             jnp.zeros((1, h // 4, w // 4, o)),
             jnp.zeros((1, h // 4, w // 4, o)))
