@@ -79,12 +79,35 @@ def batched_jaccard(pred: np.ndarray, gt: np.ndarray,
 
 
 def batched_f_measure(pred: np.ndarray, gt: np.ndarray,
-                      num_objects: int) -> np.ndarray:
-    """Per-frame mean-over-objects boundary F. pred/gt (T, H, W)."""
-    out = np.empty((pred.shape[0], num_objects), np.float64)
-    for t in range(pred.shape[0]):
+                      num_objects: int,
+                      bound_th: float = 0.008) -> np.ndarray:
+    """Per-frame mean-over-objects boundary F. pred/gt (T, H, W).
+
+    Uses the native EDT kernel (cvpr2020_manet_tpu/native) when available
+    — identical semantics to `f_measure`, ~100x faster — with the SciPy
+    implementation as fallback.
+    """
+    from cvpr2020_manet_tpu import native
+    handle = native.lib()
+    t, h, w = pred.shape
+    out = np.empty((t, num_objects), np.float64)
+    if handle is not None:
+        import ctypes
+        bound_pix = max(1, int(np.ceil(bound_th * np.linalg.norm((h, w)))))
+        res = np.empty((t,), np.float64)
         for j in range(num_objects):
-            out[t, j] = f_measure(pred[t] == j + 1, gt[t] == j + 1)
+            p = np.ascontiguousarray(pred == j + 1, np.uint8)
+            g = np.ascontiguousarray(gt == j + 1, np.uint8)
+            handle.batched_f_measure(
+                p.ctypes.data_as(ctypes.c_void_p),
+                g.ctypes.data_as(ctypes.c_void_p),
+                t, h, w, bound_pix,
+                res.ctypes.data_as(ctypes.c_void_p))
+            out[:, j] = res
+        return out.mean(axis=1)
+    for i in range(t):
+        for j in range(num_objects):
+            out[i, j] = f_measure(pred[i] == j + 1, gt[i] == j + 1, bound_th)
     return out.mean(axis=1)
 
 
