@@ -23,9 +23,35 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+class FrozenAffine(nn.Module):
+    """Frozen BatchNorm as a per-channel affine: y = x * scale + bias.
+
+    The standard inference form of pretrained BN — running statistics are
+    folded into (scale, bias) at weight-conversion time
+    (utils/pretrained.py). The reference freezes BN when fine-tuning the
+    pretrained DeepLab backbone; this is the TPU-native equivalent with no
+    batch-statistics plumbing at all.
+    """
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return (x * scale.astype(self.dtype) + bias.astype(self.dtype)
+                ).astype(x.dtype)
+
+
 def make_norm(norm: str, dtype: Any, gn_groups: int = 32,
               axis_name: str | None = None) -> Callable[..., nn.Module]:
-    """Return a norm-module constructor. norm in {'gn', 'bn', 'syncbn'}."""
+    """Return a norm-module constructor.
+
+    norm in {'gn', 'bn', 'syncbn', 'frozen'}; 'syncbn' = BatchNorm with
+    cross-replica moments via axis_name (the one-argument replacement for
+    the reference's vendored SyncBN); 'frozen' = FrozenAffine above.
+    """
     if norm == "gn":
         def ctor(name=None):
             return nn.GroupNorm(num_groups=gn_groups, dtype=dtype, name=name)
@@ -38,6 +64,9 @@ def make_norm(norm: str, dtype: Any, gn_groups: int = 32,
                 dtype=dtype,
                 name=name,
             )
+    elif norm == "frozen":
+        def ctor(name=None):
+            return FrozenAffine(dtype=dtype, name=name)
     else:
         raise ValueError(f"unknown norm {norm!r}")
     return ctor

@@ -37,19 +37,21 @@ class Bottleneck(nn.Module):
         norm_ctor = make_norm(self.norm, self.dtype, self.gn_groups)
         out_ch = self.channels * 4
         residual = x
-        y = nn.Conv(self.channels, (1, 1), use_bias=False, dtype=self.dtype)(x)
-        y = norm_ctor()(y)
+        y = nn.Conv(self.channels, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = norm_ctor(name="norm1")(y)
         y = nn.relu(y)
         y = nn.Conv(
             self.channels, (3, 3),
             strides=(self.strides, self.strides),
             kernel_dilation=(self.dilation, self.dilation),
             padding=[(self.dilation, self.dilation)] * 2,
-            use_bias=False, dtype=self.dtype)(y)
-        y = norm_ctor()(y)
+            use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = norm_ctor(name="norm2")(y)
         y = nn.relu(y)
-        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype)(y)
-        y = norm_ctor()(y)
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv3")(y)
+        y = norm_ctor(name="norm3")(y)
         if residual.shape[-1] != out_ch or self.strides != 1:
             residual = nn.Conv(
                 out_ch, (1, 1), strides=(self.strides, self.strides),
@@ -76,8 +78,8 @@ class ResNetBackbone(nn.Module):
         # Stem: 7x7/2 conv + 3x3/2 maxpool -> stride 4
         x = nn.Conv(self.width, (7, 7), strides=(2, 2),
                     padding=[(3, 3), (3, 3)], use_bias=False,
-                    dtype=self.dtype)(x)
-        x = norm_ctor()(x)
+                    dtype=self.dtype, name="stem_conv")(x)
+        x = norm_ctor(name="stem_norm")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
