@@ -53,6 +53,8 @@ def main(argv=None):
     p.add_argument("--checkpoint", default=None,
                    help="orbax release export dir (utils/checkpoint.py)")
     p.add_argument("--report", default=None, help="CSV path for the report")
+    p.add_argument("--save_masks", default=None,
+                   help="dir for final-round masks as DAVIS indexed PNGs")
     p.add_argument("--max_frames", type=int, default=104)
     p.add_argument("--image_size", type=int, nargs=2, default=(480, 854))
     p.add_argument("--tiny", action="store_true",
@@ -76,7 +78,20 @@ def main(argv=None):
                           scribble_sets=args.scribble_sets)
     evaluator = build_evaluator(cfg, args.checkpoint)
     session = InteractiveSession(ds, max_interactions=args.rounds)
-    summary = evaluator.run_session(session)
+
+    on_masks = None
+    if args.save_masks:
+        from cvpr2020_manet_tpu.utils.colormap import save_indexed_png
+
+        def on_masks(seq, set_idx, round_idx, masks):
+            # final round overwrites earlier ones -> dir holds last-round
+            # masks in DAVIS layout
+            d = os.path.join(args.save_masks, f"scribble{set_idx + 1}", seq)
+            os.makedirs(d, exist_ok=True)
+            for t in range(masks.shape[0]):
+                save_indexed_png(os.path.join(d, f"{t:05d}.png"), masks[t])
+
+    summary = evaluator.run_session(session, on_masks=on_masks)
 
     if args.report:
         os.makedirs(os.path.dirname(args.report) or ".", exist_ok=True)

@@ -145,44 +145,46 @@ class Evaluator:
             from cvpr2020_manet_tpu.ops.matching_pallas import prepare_ref
             bucketed = prepare_ref(ref_emb, ref_onehot)
 
-        def sweep(xs_feat, xs_emb, xs_prev_emb, xs_gmap):
-            def step(carry, xs):
-                f_t, e_t, e_prev, g_t = xs
-                gmap_override = None
-                if bucketed is not None:
-                    from cvpr2020_manet_tpu.ops.matching_pallas import (
-                        global_matching_prepared)
-                    gmap_override = global_matching_prepared(
-                        e_t.reshape(-1, e_t.shape[-1]), bucketed
-                    ).reshape(e_t.shape[0], e_t.shape[1], o)
-                logits, g_new = model.apply(
-                    variables, f_t, e_t, ref_emb, ref_onehot, None,
-                    g_t, e_prev, carry, int_mem, obj_valid,
-                    method=model.propagate, gmap_override=gmap_override)
-                probs = jax.nn.softmax(logits, axis=-1)
-                return probs, (probs, g_new)
-            _, ys = jax.lax.scan(
-                step, int_probs, (xs_feat, xs_emb, xs_prev_emb, xs_gmap))
-            return ys
+        def step(carry, xs):
+            f_t, e_t, e_prev, g_t, reset = xs
+            # the backward sweep starts mid-scan: reset the carry to the
+            # interaction-branch output at its first step
+            prev = jnp.where(reset, int_probs, carry)
+            gmap_override = None
+            if bucketed is not None:
+                from cvpr2020_manet_tpu.ops.matching_pallas import (
+                    global_matching_prepared)
+                gmap_override = global_matching_prepared(
+                    e_t.reshape(-1, e_t.shape[-1]), bucketed
+                ).reshape(e_t.shape[0], e_t.shape[1], o)
+            logits, g_new = model.apply(
+                variables, f_t, e_t, ref_emb, ref_onehot, None,
+                g_t, e_prev, prev, int_mem, obj_valid,
+                method=model.propagate, gmap_override=gmap_override)
+            probs = jax.nn.softmax(logits, axis=-1)
+            return probs, (probs, g_new)
 
-        # forward sweep: frames annot+1, annot+2, ..., (wraps, wrapped part
-        # discarded by the t > annot combine mask below)
+        # BOTH sweeps as ONE fixed-length scan (2T steps) — halves the
+        # compiled graph vs two scan ops. Forward order: annot+1 .. (wraps;
+        # wrapped part discarded by the combine mask). Backward order:
+        # annot-1, annot-2, .. (then wraps, discarded).
         roll_f = lambda x: jnp.roll(x, -(annot_idx + 1), axis=0)
-        probs_f, g_f = sweep(roll_f(feat), roll_f(emb),
-                             jnp.roll(emb, -annot_idx, axis=0),
-                             roll_f(gmap_mem))
-        probs_f = jnp.roll(probs_f, annot_idx + 1, axis=0)
-        g_f = jnp.roll(g_f, annot_idx + 1, axis=0)
-
-        # backward sweep: frames annot-1, annot-2, ..., 0 (then wraps)
         rev = lambda x: jnp.flip(x, axis=0)
         roll_b = lambda x: jnp.roll(rev(x), -(t - annot_idx), axis=0)
-        probs_b, g_b = sweep(roll_b(feat), roll_b(emb),
-                             jnp.roll(rev(emb), -(t - annot_idx - 1), axis=0),
-                             roll_b(gmap_mem))
+        cat = lambda a, b: jnp.concatenate([a, b], axis=0)
+        xs = (cat(roll_f(feat), roll_b(feat)),
+              cat(roll_f(emb), roll_b(emb)),
+              cat(jnp.roll(emb, -annot_idx, axis=0),
+                  jnp.roll(rev(emb), -(t - annot_idx - 1), axis=0)),
+              cat(roll_f(gmap_mem), roll_b(gmap_mem)),
+              jnp.zeros((2 * t,), jnp.bool_).at[t].set(True))
+        _, (probs_all, g_all) = jax.lax.scan(step, int_probs, xs)
+
+        probs_f = jnp.roll(probs_all[:t], annot_idx + 1, axis=0)
+        g_f = jnp.roll(g_all[:t], annot_idx + 1, axis=0)
         unroll_b = lambda x: rev(jnp.roll(x, t - annot_idx, axis=0))
-        probs_b = unroll_b(probs_b)
-        g_b = unroll_b(g_b)
+        probs_b = unroll_b(probs_all[t:])
+        g_b = unroll_b(g_all[t:])
 
         t_idx = jnp.arange(t)
         sel = jnp.where(t_idx > annot_idx, 0,
@@ -220,7 +222,18 @@ class Evaluator:
             images = np.concatenate(
                 [images, np.zeros((t_pad - t_actual, *images.shape[1:]),
                                   np.float32)])
-        feat, emb = self._extract(jnp.asarray(images))
+        # Extract in fixed-size chunks: ONE encoder compilation (chunk
+        # batch) serves any sequence length, and the compiled graph stays
+        # small for the slow remote-compile service.
+        chunk = min(8, t_pad)
+        assert t_pad % chunk == 0, (t_pad, chunk)
+        feats, embs = [], []
+        for i in range(0, t_pad, chunk):
+            f, e = self._extract(jnp.asarray(images[i:i + chunk]))
+            feats.append(f)
+            embs.append(e)
+        feat = jnp.concatenate(feats, axis=0)
+        emb = jnp.concatenate(embs, axis=0)
         t, h, w = t_pad, feat.shape[1], feat.shape[2]
         o = self.o
         prev = jnp.zeros((t, h, w, o), jnp.float32).at[..., 0].set(1.0)
@@ -283,8 +296,12 @@ class Evaluator:
 
     # ---------------- full benchmark ----------------------------------- #
 
-    def run_session(self, session) -> Dict[str, Any]:
-        """Drive an InteractiveSession to completion (SURVEY.md §4.1)."""
+    def run_session(self, session, on_masks=None) -> Dict[str, Any]:
+        """Drive an InteractiveSession to completion (SURVEY.md §4.1).
+
+        on_masks(seq, set_idx, round_idx, masks): optional per-submission
+        callback (e.g. PNG dumping).
+        """
         states: dict[tuple, SequenceState] = {}
         with session as sess:
             while sess.next():
@@ -297,5 +314,7 @@ class Evaluator:
                 gt_hw = sess.dataset.gt_masks(seq).shape[1:]
                 masks = self.run_round(
                     st, scribbles, gt_hw, sess.dataset.num_objects(seq))
+                if on_masks is not None:
+                    on_masks(seq, key[1], st.round_idx - 1, masks)
                 sess.submit_masks(masks)
         return session.get_global_summary()

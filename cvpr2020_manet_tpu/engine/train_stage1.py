@@ -238,21 +238,48 @@ def synthetic_batch(cfg: Config, rng: np.random.Generator) -> Dict[str, np.ndarr
 def main(argv=None):
     import argparse
     from cvpr2020_manet_tpu.config import Config, tiny_test_config
+    from cvpr2020_manet_tpu.utils.logging import MetricLogger
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--davis_root", default=None,
+                   help="train on DAVIS (data/davis.py) instead of synthetic")
+    p.add_argument("--log_dir", default=None)
+    p.add_argument("--snapshot_dir", default=None,
+                   help="orbax checkpoint dir (resumes if it has snapshots)")
     args = p.parse_args(argv)
 
     cfg = tiny_test_config() if args.tiny else Config()
     trainer = Trainer(cfg)
-    rng = np.random.default_rng(cfg.train.seed)
-    for step in range(args.steps):
-        batch = synthetic_batch(cfg, rng)   # DAVIS pipeline: data/davis.py
-        metrics = trainer.train_step(batch)
+    logger = MetricLogger(args.log_dir)
+
+    mgr = None
+    if args.snapshot_dir:
+        from cvpr2020_manet_tpu.utils.checkpoint import CheckpointManager
+        mgr = CheckpointManager(args.snapshot_dir)
+        if mgr.latest_step() is not None:
+            trainer.state = mgr.restore(trainer.state)
+            print(f"resumed from step {int(trainer.state.step)}")
+
+    if args.davis_root:
+        from cvpr2020_manet_tpu.data.davis import DavisTrainDataset
+        ds = DavisTrainDataset(args.davis_root, cfg)
+        next_batch = lambda: ds.batch(cfg.train.batch_size)
+    else:
+        rng = np.random.default_rng(cfg.train.seed)
+        next_batch = lambda: synthetic_batch(cfg, rng)
+
+    start = int(trainer.state.step)
+    for step in range(start, start + args.steps):
+        metrics = trainer.train_step(next_batch())
         if step % max(1, cfg.train.log_every // 10) == 0:
-            print(f"step {step}: " + " ".join(
-                f"{k}={float(v):.4f}" for k, v in metrics.items()))
+            logger.write(step, metrics)
+        if mgr is not None and (step + 1) % cfg.train.checkpoint_every == 0:
+            mgr.save(trainer.state)
+    if mgr is not None:
+        mgr.save(trainer.state)
+    logger.flush()
 
 
 if __name__ == "__main__":
