@@ -96,11 +96,14 @@ class DavisTrainDataset:
         self.clip_len = clip_len
         self._rng = np.random.default_rng(seed)
 
-    def _augment(self, images: np.ndarray, labels: np.ndarray):
+    def _augment(self, images: np.ndarray, labels: np.ndarray,
+                 rng: np.random.Generator | None = None):
         """Joint random scale / crop / hflip over a clip (C14)."""
         ch, cw = self.cfg.train.crop_size
         t, h, w = labels.shape
-        scale = self._rng.uniform(0.75, 1.25)
+        if rng is None:
+            rng = self._rng
+        scale = rng.uniform(0.75, 1.25)
         sh, sw = max(ch, int(h * scale)), max(cw, int(w * scale))
         # nearest for labels, bilinear for images (PIL per frame)
         from PIL import Image
@@ -113,29 +116,35 @@ class DavisTrainDataset:
             np.asarray(Image.fromarray(lb.astype(np.uint8)).resize(
                 (sw, sh), Image.NEAREST), np.int32)
             for lb in labels])
-        y0 = self._rng.integers(0, sh - ch + 1)
-        x0 = self._rng.integers(0, sw - cw + 1)
+        y0 = rng.integers(0, sh - ch + 1)
+        x0 = rng.integers(0, sw - cw + 1)
         imgs = imgs[:, y0:y0 + ch, x0:x0 + cw]
         labs = labs[:, y0:y0 + ch, x0:x0 + cw]
-        if self._rng.random() < 0.5:
+        if rng.random() < 0.5:
             imgs = imgs[:, :, ::-1].copy()
             labs = labs[:, :, ::-1].copy()
         return normalize_image(imgs), labs
 
-    def sample_clip(self) -> Dict[str, np.ndarray]:
-        """One (ref, prev, cur) clip with remapped compact object ids."""
+    def sample_clip(self, rng: np.random.Generator | None = None
+                    ) -> Dict[str, np.ndarray]:
+        """One (ref, prev, cur) clip with remapped compact object ids.
+
+        Pass `rng` for deterministic per-index sampling (grain pipeline).
+        """
+        if rng is None:
+            rng = self._rng
         o_max = self.cfg.model.max_objects
         seqs = self.eval_ds.sequences()
-        seq = seqs[self._rng.integers(len(seqs))]
+        seq = seqs[rng.integers(len(seqs))]
         gt = self.eval_ds.gt_masks(seq)
         raw = self.eval_ds.images(seq)
         t = gt.shape[0]
         # reference frame + a consecutive (prev, cur) pair elsewhere
-        ref = int(self._rng.integers(t))
-        cur = int(self._rng.integers(1, t))
+        ref = int(rng.integers(t))
+        cur = int(rng.integers(1, t))
         idx = [ref, cur - 1, cur][:self.clip_len] if self.clip_len == 3 \
-            else sorted(self._rng.choice(t, self.clip_len, replace=False))
-        images, labels = self._augment(raw[idx], gt[idx])
+            else sorted(rng.choice(t, self.clip_len, replace=False))
+        images, labels = self._augment(raw[idx], gt[idx], rng)
         # compact remap of object ids present in the clip, capped at O
         present = np.unique(labels)
         present = present[present > 0][:o_max]
