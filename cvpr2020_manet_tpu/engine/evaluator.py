@@ -164,37 +164,30 @@ class Evaluator:
             probs = jax.nn.softmax(logits, axis=-1)
             return probs, (probs, g_new)
 
-        # BOTH sweeps as ONE fixed-length scan (2T steps) — halves the
-        # compiled graph vs two scan ops. Forward order: annot+1 .. (wraps;
-        # wrapped part discarded by the combine mask). Backward order:
-        # annot-1, annot-2, .. (then wraps, discarded).
-        roll_f = lambda x: jnp.roll(x, -(annot_idx + 1), axis=0)
-        rev = lambda x: jnp.flip(x, axis=0)
-        roll_b = lambda x: jnp.roll(rev(x), -(t - annot_idx), axis=0)
-        cat = lambda a, b: jnp.concatenate([a, b], axis=0)
-        xs = (cat(roll_f(feat), roll_b(feat)),
-              cat(roll_f(emb), roll_b(emb)),
-              cat(jnp.roll(emb, -annot_idx, axis=0),
-                  jnp.roll(rev(emb), -(t - annot_idx - 1), axis=0)),
-              cat(roll_f(gmap_mem), roll_b(gmap_mem)),
-              jnp.zeros((2 * t,), jnp.bool_).at[t].set(True))
-        _, (probs_all, g_all) = jax.lax.scan(step, int_probs, xs)
+        # BOTH sweeps as ONE (T-1)-step scan: the step index maps to the
+        # frame visit order [annot+1 .. T-1, annot-1 .. 0], the carry
+        # resets to the interaction output where the backward sweep
+        # starts, and every frame is matched exactly once (no wasted
+        # wrap-around work, half the compute of two full-length sweeps).
+        idx = jnp.arange(t - 1)
+        fwd_len = t - 1 - annot_idx
+        frame = jnp.where(idx < fwd_len,
+                          annot_idx + 1 + idx,
+                          annot_idx - 1 - (idx - fwd_len))
+        prev_frame = jnp.where(idx < fwd_len, frame - 1, frame + 1)
+        reset = idx == fwd_len
+        xs = (jnp.take(feat, frame, axis=0),
+              jnp.take(emb, frame, axis=0),
+              jnp.take(emb, prev_frame, axis=0),
+              jnp.take(gmap_mem, frame, axis=0),
+              reset)
+        _, (probs_seq, g_seq) = jax.lax.scan(step, int_probs, xs)
 
-        probs_f = jnp.roll(probs_all[:t], annot_idx + 1, axis=0)
-        g_f = jnp.roll(g_all[:t], annot_idx + 1, axis=0)
-        unroll_b = lambda x: rev(jnp.roll(x, t - annot_idx, axis=0))
-        probs_b = unroll_b(probs_all[t:])
-        g_b = unroll_b(g_all[t:])
-
-        t_idx = jnp.arange(t)
-        sel = jnp.where(t_idx > annot_idx, 0,
-                        jnp.where(t_idx < annot_idx, 1, 2))
-        sel4 = sel[:, None, None, None]
-        probs = jnp.where(sel4 == 0, probs_f,
-                          jnp.where(sel4 == 1, probs_b,
-                                    int_probs[None]))
-        gmap = jnp.where(sel4 == 0, g_f,
-                         jnp.where(sel4 == 1, g_b, gmap_mem))
+        # scatter the visit-ordered outputs back to frame order; the
+        # annotated frame keeps the interaction-branch result
+        probs = prev_masks.at[frame].set(probs_seq)
+        probs = probs.at[annot_idx].set(int_probs)
+        gmap = gmap_mem.at[frame].set(g_seq)
         fv = frame_valid[:, None, None, None]
         probs = jnp.where(fv, probs, prev_masks)
         gmap = jnp.where(fv, gmap, gmap_mem)

@@ -1,0 +1,167 @@
+"""Streaming iVOS serving (BASELINE config 5: 1080p, unbounded memory).
+
+Online contract — no full-video feature cache, frames arrive one at a
+time:
+
+  s = StreamingIVOS(cfg, model, variables)
+  s.reset(num_objects)
+  mask = s.observe(frame)            # segment the newest frame
+  mask = s.correct(scribbles_json)   # user corrects the NEWEST frame
+
+State kept on device between calls:
+- paged matching memory: annotated-frame pixels of every correction so
+  far, in fixed-capacity pages (cfg.eval.max_interactions x HW rows) —
+  the Pallas kernel streams all pages per frame (ops/matching_pallas);
+  page count is the 'unbounded memory growth' axis and shards over the
+  'context' mesh axis at scale (parallel/cp_matching.py).
+- gated interaction-feature memory (MA module), previous frame
+  embedding + probabilities for local matching.
+
+Each public call is ONE jitted graph + one host transfer of the mask.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cvpr2020_manet_tpu.config import Config
+from cvpr2020_manet_tpu.engine.evaluator import (
+    downsample_mask_max, pad_image_to)
+from cvpr2020_manet_tpu.interactive.scribbles import (
+    annotated_frames, scribble_masks_per_object, scribbles2mask)
+from cvpr2020_manet_tpu.models.layers import resize_bilinear
+from cvpr2020_manet_tpu.models.manet import MANet
+
+
+class StreamingIVOS:
+    def __init__(self, cfg: Config, model: MANet, variables):
+        self.cfg = cfg
+        self.model = model
+        self.variables = variables
+        self.o = cfg.model.max_objects + 1
+        self.stride = cfg.model.feature_stride
+        h, w = cfg.eval.image_size
+        self.hp = h + (-h) % cfg.eval.pad_to
+        self.wp = w + (-w) % cfg.eval.pad_to
+        self.hh, self.ww = self.hp // 4, self.wp // 4
+        self.capacity = cfg.eval.max_interactions
+        backend = model.matching_backend
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+        self.use_pallas = backend == "pallas"
+        self._observe = jax.jit(self._observe_impl)
+        self._correct = jax.jit(self._correct_impl)
+        self.state = None
+
+    # ------------------------------------------------------------------ #
+
+    def reset(self, num_objects: int) -> None:
+        hh, ww, o = self.hh, self.ww, self.o
+        m = self.capacity * hh * ww
+        obj_valid = np.zeros((o,), np.float32)
+        obj_valid[:num_objects + 1] = 1.0
+        self.state = dict(
+            mem_emb=jnp.zeros((m, self.cfg.model.embedding_dim_padded),
+                              jnp.float32),
+            mem_onehot=jnp.zeros((m, o), jnp.float32),
+            rounds=0,
+            int_mem=jnp.zeros((o, hh, ww, self.cfg.model.ma_channels),
+                              jnp.float32),
+            prev_emb=jnp.zeros((hh, ww, self.cfg.model.embedding_dim_padded),
+                               jnp.float32),
+            prev_probs=jnp.zeros((hh, ww, o), jnp.float32).at[..., 0].set(1.0),
+            cur_feat=None, cur_emb=None, cur_probs=None,
+            obj_valid=jnp.asarray(obj_valid),
+            frame_idx=0,
+        )
+
+    # ------------------------------------------------------------------ #
+
+    def _observe_impl(self, image, mem_emb, mem_onehot, int_mem,
+                      prev_emb, prev_probs, obj_valid, has_memory):
+        model, variables = self.model, self.variables
+        o = self.o
+        feat, emb = model.apply(variables, image[None],
+                                method=model.extract_features)
+        f_t, e_t = feat[0], emb[0]
+        logits, _ = model.apply(
+            variables, f_t, e_t, mem_emb, mem_onehot, None,
+            jnp.ones((self.hh, self.ww, o), jnp.float32),
+            prev_emb, prev_probs, int_mem, obj_valid,
+            method=model.propagate)
+        logits = logits + (1.0 - obj_valid)[None, None, :] * (-1e9)
+        probs = jax.nn.softmax(logits, axis=-1)
+        # before any correction there is no memory: everything background
+        probs = jnp.where(has_memory, probs,
+                          jnp.zeros_like(probs).at[..., 0].set(1.0))
+        mask = self._mask(probs)
+        return f_t, e_t, probs, mask
+
+    def _correct_impl(self, cur_feat, cur_emb, cur_probs, pos, neg,
+                      mem_emb, mem_onehot, int_mem, obj_valid, round_idx,
+                      is_first):
+        model, variables = self.model, self.variables
+        o = self.o
+        int_feats, int_logits = model.apply(
+            variables, cur_feat, pos, neg, cur_probs, method=model.interact)
+        int_mem = model.apply(variables, int_feats, int_mem, is_first,
+                              method=model.aggregate_memory)
+        int_logits = int_logits + (1.0 - obj_valid)[None, None, :] * (-1e9)
+        probs = jax.nn.softmax(int_logits, axis=-1)
+        lab = jnp.argmax(probs, axis=-1)
+        scribbled = jnp.max(pos, axis=-1) > 0
+        lab = jnp.where(scribbled, jnp.argmax(pos, axis=-1), lab)
+        onehot = jax.nn.one_hot(lab.reshape(-1), o) * obj_valid[None, :]
+        ref = cur_emb.reshape(-1, cur_emb.shape[-1]).astype(mem_emb.dtype)
+        off = round_idx * ref.shape[0]
+        mem_emb = jax.lax.dynamic_update_slice(mem_emb, ref, (off, 0))
+        mem_onehot = jax.lax.dynamic_update_slice(mem_onehot, onehot, (off, 0))
+        mask = self._mask(probs)
+        return probs, mem_emb, mem_onehot, int_mem, mask
+
+    def _mask(self, probs):
+        up = resize_bilinear(probs, (self.hp, self.wp))
+        return jnp.argmax(up, axis=-1).astype(jnp.int32)
+
+    # ------------------------------------------------------------------ #
+
+    def observe(self, image: np.ndarray) -> np.ndarray:
+        """Segment a new frame. image (H, W, 3) float, normalized."""
+        st = self.state
+        image = pad_image_to(image.astype(np.float32), self.cfg.eval.pad_to)
+        f_t, e_t, probs, mask = self._observe(
+            jnp.asarray(image), st["mem_emb"], st["mem_onehot"],
+            st["int_mem"], st["prev_emb"], st["prev_probs"],
+            st["obj_valid"], jnp.asarray(st["rounds"] > 0))
+        st["prev_emb"], st["prev_probs"] = e_t, probs
+        st["cur_feat"], st["cur_emb"], st["cur_probs"] = f_t, e_t, probs
+        st["frame_idx"] += 1
+        h, w = self.cfg.eval.image_size
+        return np.asarray(mask)[:h, :w]
+
+    def correct(self, scribbles_json) -> np.ndarray:
+        """User scribbles on the newest frame -> refreshed mask; the
+        annotated pixels become a new matching-memory page."""
+        st = self.state
+        assert st["cur_feat"] is not None, "observe() a frame first"
+        h, w = self.cfg.eval.image_size
+        af = annotated_frames(scribbles_json)
+        raster = scribbles2mask(scribbles_json, (h, w))[af[0] if af else 0]
+        pos, neg = scribble_masks_per_object(
+            raster, self.cfg.model.max_objects)
+        pos = downsample_mask_max(pad_image_to(pos, self.cfg.eval.pad_to),
+                                  self.stride)
+        neg = downsample_mask_max(pad_image_to(neg, self.cfg.eval.pad_to),
+                                  self.stride)
+        r = min(st["rounds"], self.capacity - 1)
+        probs, mem_emb, mem_onehot, int_mem, mask = self._correct(
+            st["cur_feat"], st["cur_emb"], st["cur_probs"],
+            jnp.asarray(pos), jnp.asarray(neg),
+            st["mem_emb"], st["mem_onehot"], st["int_mem"], st["obj_valid"],
+            jnp.asarray(r, jnp.int32), jnp.asarray(st["rounds"] == 0))
+        st.update(mem_emb=mem_emb, mem_onehot=mem_onehot, int_mem=int_mem,
+                  cur_probs=probs, prev_probs=probs)
+        st["rounds"] += 1
+        return np.asarray(mask)[:h, :w]

@@ -1,0 +1,54 @@
+"""Streaming serving mode (BASELINE config 5) on the tiny config."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cvpr2020_manet_tpu.config import tiny_test_config
+from cvpr2020_manet_tpu.data import SyntheticDataset
+from cvpr2020_manet_tpu.engine.streaming import StreamingIVOS
+from cvpr2020_manet_tpu.interactive.robot import InteractiveScribblesRobot
+from cvpr2020_manet_tpu.models import MANet
+
+
+def test_streaming_observe_correct_loop():
+    cfg = tiny_test_config()
+    h, w = cfg.eval.image_size
+    o = cfg.model.max_objects + 1
+    ds = SyntheticDataset(image_size=(h, w), num_frames=4,
+                          num_sequences=1, num_objects=1)
+    seq = ds.sequences()[0]
+    images, gt = ds.images(seq), ds.gt_masks(seq)
+
+    model = MANet(cfg.model, matching_backend="jnp")
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)),
+        jnp.zeros((1, h // 4, w // 4, o)), jnp.zeros((1, h // 4, w // 4, o)))
+    s = StreamingIVOS(cfg, model, variables)
+    s.reset(num_objects=1)
+
+    # frame 0: no memory yet -> all background
+    m0 = s.observe(images[0])
+    assert m0.shape == (h, w)
+    assert (m0 == 0).all()
+
+    # user corrects frame 0
+    robot = InteractiveScribblesRobot()
+    scr = robot.scribble_frame(np.zeros_like(gt[0]), gt[0], 1, 0, 1, seq)
+    m0c = s.correct(scr.to_json())
+    assert m0c.shape == (h, w)
+    assert int(s.state["rounds"]) == 1
+    # memory page written
+    assert float(jnp.abs(s.state["mem_emb"]).sum()) > 0
+
+    # subsequent frames are segmented against the memory
+    m1 = s.observe(images[1])
+    m2 = s.observe(images[2])
+    assert m1.shape == (h, w) and m2.shape == (h, w)
+    assert m1.max() <= cfg.model.max_objects
+
+    # a second correction appends another page, not overwriting the first
+    scr2 = robot.scribble_frame(m2, gt[2], 1, 2, 3, seq)
+    if scr2.scribbles[2]:
+        s.correct(scr2.to_json())
+        assert int(s.state["rounds"]) == 2
