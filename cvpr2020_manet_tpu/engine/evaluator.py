@@ -196,11 +196,13 @@ class Evaluator:
         return probs, gmap, int_mem
 
     def _masks_impl(self, probs, *, hw):
-        """(T, h, w, O) -> (T, H, W) argmax labels at image resolution."""
-        def one(p):
-            up = resize_bilinear(p, hw)
-            return jnp.argmax(up, axis=-1).astype(jnp.int32)
-        return jax.lax.map(one, probs)
+        """(T, h, w, O) -> (T, H, W) argmax labels at image resolution.
+
+        One batched upsample (fast integer-factor path) + argmax; uint8
+        output so the device->host transfer is 4x smaller (the transfer
+        rides the TPU tunnel and was measured at ~650 ms for int32)."""
+        up = resize_bilinear(probs, hw)
+        return jnp.argmax(up, axis=-1).astype(jnp.uint8)
 
     # ---------------- host orchestration ------------------------------- #
 
@@ -284,6 +286,7 @@ class Evaluator:
         w_pad = w_img + ((-w_img) % cfg.eval.pad_to)
         masks = self._masks(probs, hw=(h_pad, w_pad))
         masks = np.asarray(masks)[:state.num_frames, :h_img, :w_img]
+        masks = masks.astype(np.int32)
         self.round_latencies.append(time.perf_counter() - t0)
         return masks
 
