@@ -87,11 +87,17 @@ class DavisEvalDataset:
 
 
 class DavisTrainDataset:
-    """Clip sampler with joint augmentation for stage-1/2 training."""
+    """Clip sampler with joint augmentation for stage-1/2 training.
 
-    def __init__(self, root: str, cfg, subset: str = "train",
-                 year: str = "2017", clip_len: int = 3, seed: int = 0):
-        self.eval_ds = DavisEvalDataset(root, subset=subset, year=year)
+    Works over any eval-style adapter (sequences/images/gt_masks) — pass
+    `adapter=` for non-DAVIS sources (e.g. data/ytvos.YTVOSDataset).
+    """
+
+    def __init__(self, root: str = "", cfg=None, subset: str = "train",
+                 year: str = "2017", clip_len: int = 3, seed: int = 0,
+                 adapter=None):
+        self.eval_ds = adapter if adapter is not None else DavisEvalDataset(
+            root, subset=subset, year=year)
         self.cfg = cfg
         self.clip_len = clip_len
         self._rng = np.random.default_rng(seed)
