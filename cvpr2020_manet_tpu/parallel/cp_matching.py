@@ -38,6 +38,36 @@ def local_then_min(query, ref_shard, onehot_shard, valid_shard, axis_name):
     return M.normalize_distance(jnp.min(gathered, axis=0))
 
 
+def ring_local_then_min(query, ref_shard, onehot_shard, valid_shard,
+                        axis_name):
+    """Ring-schedule variant (SURVEY.md §3.3 'ring attention' row): instead
+    of one all-gather of partial results, the memory SHARDS rotate around
+    the ring (lax.ppermute) while each device folds a running min —
+    communication of the next shard overlaps with matching on the current
+    one under XLA's scheduler. Same result as `local_then_min`; preferable
+    when shards are large (1080p paged memory) since no (ctx, Nq, O)
+    gather buffer is materialized.
+    """
+    n = jax.lax.axis_size(axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def body(i, carry):
+        ref, oh, valid, dmin = carry
+        d = M.global_matching(query, ref, oh, valid, normalize=False)
+        dmin = jnp.minimum(dmin, d)
+        ref = jax.lax.ppermute(ref, axis_name, perm)
+        oh = jax.lax.ppermute(oh, axis_name, perm)
+        valid = jax.lax.ppermute(valid, axis_name, perm)
+        return ref, oh, valid, dmin
+
+    o = onehot_shard.shape[1]
+    init = (ref_shard, onehot_shard, valid_shard.astype(jnp.float32),
+            jnp.full((query.shape[0], o), M.WRONG_LABEL_PADDING_DISTANCE,
+                     jnp.float32))
+    *_, dmin = jax.lax.fori_loop(0, n, body, init)
+    return M.normalize_distance(dmin)
+
+
 def context_parallel_matching(
     query: jax.Array,       # (Nq, C)
     ref: jax.Array,         # (Nk, C) — Nk divisible by the context size
@@ -45,10 +75,12 @@ def context_parallel_matching(
     ref_valid: jax.Array,   # (Nk,)
     mesh: Mesh,
     axis_name: str = "context",
+    schedule: str = "allgather",     # "allgather" | "ring"
 ) -> jax.Array:
     """Standalone CP matching over `mesh[axis_name]` (for eval / tests)."""
+    impl = local_then_min if schedule == "allgather" else ring_local_then_min
     fn = shard_map(
-        functools.partial(local_then_min, axis_name=axis_name),
+        functools.partial(impl, axis_name=axis_name),
         mesh=mesh,
         in_specs=(P(), P(axis_name), P(axis_name), P(axis_name)),
         out_specs=P(),

@@ -30,6 +30,22 @@ def test_cp_matching_matches_single_device(rng):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_cp_ring_schedule_matches_allgather(rng):
+    mesh = create_mesh(data=1, context=8)
+    nq, nk, c, o = 32, 512, 16, 4
+    q = jnp.array(rng.normal(size=(nq, c)), jnp.float32)
+    k = jnp.array(rng.normal(size=(nk, c)), jnp.float32)
+    oh = jnp.array(np.eye(o, dtype=np.float32)[rng.integers(0, o, size=nk)])
+    valid = jnp.array((rng.random(nk) > 0.2).astype(np.float32))
+    ring = np.asarray(context_parallel_matching(
+        q, k, oh, valid, mesh, schedule="ring"))
+    ag = np.asarray(context_parallel_matching(
+        q, k, oh, valid, mesh, schedule="allgather"))
+    np.testing.assert_allclose(ring, ag, atol=1e-6)
+    want = np.asarray(M.global_matching(q, k, oh, valid))
+    np.testing.assert_allclose(ring, want, atol=1e-6)
+
+
 def test_cp_matching_differentiable_through_min(rng):
     mesh = create_mesh(data=1, context=8)
     nq, nk, c, o = 16, 64, 8, 2
