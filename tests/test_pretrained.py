@@ -91,9 +91,7 @@ def test_convert_and_load_into_model(rng):
         np.asarray(got["stem_conv"]["kernel"]),
         np.transpose(w, (2, 3, 1, 0)))
     # the merged backbone still runs
-    low, trunk = backbone.apply({"params": got["encoder"]["backbone"]}
-                                if "encoder" in got else {"params": got},
-                                jnp.ones((1, 32, 32, 3)))
+    low, trunk = backbone.apply({"params": got}, jnp.ones((1, 32, 32, 3)))
     assert np.isfinite(np.asarray(trunk)).all()
 
 
