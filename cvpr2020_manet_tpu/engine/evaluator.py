@@ -90,7 +90,9 @@ class Evaluator:
         # rounds' annotated pixels — BASELINE config 3/5).
         self.memory_mode = cfg.eval.matching_memory
         self._extract = jax.jit(self._extract_impl)
-        self._round = jax.jit(self._round_impl)
+        # masks fused into the round: ONE device dispatch per interaction
+        # round (each dispatch pays a full RTT through the TPU tunnel)
+        self._round = jax.jit(self._round_impl, static_argnames=("mask_hw",))
         self._masks = jax.jit(self._masks_impl, static_argnames=("hw",))
         self.round_latencies: list[float] = []
 
@@ -103,7 +105,7 @@ class Evaluator:
     def _round_impl(self, feat, emb, pos_scr, neg_scr, annot_idx,
                     prev_masks, gmap_mem, int_mem, is_first, obj_valid,
                     frame_valid, round_idx=None, mem_emb=None,
-                    mem_onehot=None):
+                    mem_onehot=None, *, mask_hw=None):
         model, variables = self.model, self.variables
         t, h, w, _ = feat.shape
         o = self.o
@@ -191,9 +193,10 @@ class Evaluator:
         fv = frame_valid[:, None, None, None]
         probs = jnp.where(fv, probs, prev_masks)
         gmap = jnp.where(fv, gmap, gmap_mem)
+        masks = self._masks_impl(probs, hw=mask_hw) if mask_hw else None
         if self.memory_mode == "stacked":
-            return probs, gmap, int_mem, mem_emb, mem_onehot
-        return probs, gmap, int_mem
+            return probs, gmap, int_mem, masks, mem_emb, mem_onehot
+        return probs, gmap, int_mem, masks
 
     def _masks_impl(self, probs, *, hw):
         """(T, h, w, O) -> (T, H, W) argmax labels at image resolution.
@@ -264,6 +267,9 @@ class Evaluator:
         frame_valid = (np.arange(cfg.eval.max_frames)
                        < state.num_frames).astype(bool)
 
+        h_img, w_img = image_hw
+        h_pad = h_img + ((-h_img) % cfg.eval.pad_to)
+        w_pad = w_img + ((-w_img) % cfg.eval.pad_to)
         args = (state.feat, state.emb, jnp.asarray(pos), jnp.asarray(neg),
                 jnp.asarray(annot, jnp.int32), state.prev_masks,
                 state.gmap_mem, state.int_mem,
@@ -272,19 +278,17 @@ class Evaluator:
         if self.memory_mode == "stacked":
             # clamp: past max_interactions, overwrite the last slot
             r = min(state.round_idx, self.cfg.eval.max_interactions - 1)
-            probs, gmap, int_mem, mem_emb, mem_onehot = self._round(
+            probs, gmap, int_mem, masks, mem_emb, mem_onehot = self._round(
                 *args, round_idx=jnp.asarray(r, jnp.int32),
-                mem_emb=state.mem_emb, mem_onehot=state.mem_onehot)
+                mem_emb=state.mem_emb, mem_onehot=state.mem_onehot,
+                mask_hw=(h_pad, w_pad))
             state.mem_emb, state.mem_onehot = mem_emb, mem_onehot
         else:
-            probs, gmap, int_mem = self._round(*args)
+            probs, gmap, int_mem, masks = self._round(
+                *args, mask_hw=(h_pad, w_pad))
         state.prev_masks, state.gmap_mem, state.int_mem = probs, gmap, int_mem
         state.round_idx += 1
 
-        h_img, w_img = image_hw
-        h_pad = h_img + ((-h_img) % cfg.eval.pad_to)
-        w_pad = w_img + ((-w_img) % cfg.eval.pad_to)
-        masks = self._masks(probs, hw=(h_pad, w_pad))
         masks = np.asarray(masks)[:state.num_frames, :h_img, :w_img]
         masks = masks.astype(np.int32)
         self.round_latencies.append(time.perf_counter() - t0)
