@@ -170,11 +170,10 @@ class MANet(nn.Module):
             q = resize_bilinear(emb_t, (h // s, w // s))
             k = resize_bilinear(prev_emb, (h // s, w // s))
             m = resize_nearest(prev_onehot, (h // s, w // s))
-            lm = M.local_matching(q, k, m, window=cfg.local_window)
+            lm = self._local_matching(q, k, m)
             lm = resize_bilinear(lm, (h, w))
         else:
-            lm = M.local_matching(emb_t, prev_emb, prev_onehot,
-                                  window=cfg.local_window)
+            lm = self._local_matching(emb_t, prev_emb, prev_onehot)
 
         # Assemble per-object decoder inputs (SURVEY.md C5,
         # ~calculate_attention_head).
@@ -192,12 +191,24 @@ class MANet(nn.Module):
 
     # ------------------------------------------------------------------ #
 
-    def _global_matching(self, query, ref_emb, ref_onehot, ref_valid):
+    def _backend(self) -> str:
         backend = self.matching_backend
         if backend == "auto":
             backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
-        if backend == "pallas":
+        return backend
+
+    def _global_matching(self, query, ref_emb, ref_onehot, ref_valid):
+        if self._backend() == "pallas":
             from cvpr2020_manet_tpu.ops.matching_pallas import (
                 global_matching_pallas)
             return global_matching_pallas(query, ref_emb, ref_onehot, ref_valid)
         return M.global_matching(query, ref_emb, ref_onehot, ref_valid)
+
+    def _local_matching(self, query, prev, prev_onehot):
+        if self._backend() == "pallas":
+            from cvpr2020_manet_tpu.ops.local_matching_pallas import (
+                local_matching_pallas)
+            return local_matching_pallas(query, prev, prev_onehot,
+                                         window=self.cfg.local_window)
+        return M.local_matching(query, prev, prev_onehot,
+                                window=self.cfg.local_window)

@@ -83,7 +83,8 @@ def local_matching_pallas(
     prev_onehot: jax.Array,  # (H, W, O)
     *,
     window: int = 15,
-    rows_per_block: int = 4,
+    rows_per_block: int = 2,   # VMEM budget: cross2 tile is
+                               # (rows*w_pad) x ((rows+2w)*w_pad) f32
     normalize: bool = True,
     interpret: bool = False,
 ) -> jax.Array:
