@@ -21,7 +21,6 @@ TPU-native design decisions:
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time
 from typing import Any, Dict
 

@@ -23,7 +23,6 @@ Run: python -m cvpr2020_manet_tpu.engine.train_stage2 --tiny --steps 5
 
 from __future__ import annotations
 
-import functools
 from typing import Dict
 
 import jax

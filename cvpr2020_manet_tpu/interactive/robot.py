@@ -18,7 +18,7 @@ long enough, and label the correct object).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 from scipy import ndimage

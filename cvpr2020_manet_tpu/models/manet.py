@@ -20,7 +20,7 @@ Conventions (TPU static-shape policy):
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
