@@ -141,30 +141,6 @@ class Evaluator:
                 mem_onehot, ref_onehot, (off, 0))
             ref_emb, ref_onehot = mem_emb, mem_onehot
 
-        bucketed = None
-        if self.use_pallas:
-            from cvpr2020_manet_tpu.ops.matching_pallas import prepare_ref
-            bucketed = prepare_ref(ref_emb, ref_onehot)
-
-        def step(carry, xs):
-            f_t, e_t, e_prev, g_t, reset = xs
-            # the backward sweep starts mid-scan: reset the carry to the
-            # interaction-branch output at its first step
-            prev = jnp.where(reset, int_probs, carry)
-            gmap_override = None
-            if bucketed is not None:
-                from cvpr2020_manet_tpu.ops.matching_pallas import (
-                    global_matching_prepared)
-                gmap_override = global_matching_prepared(
-                    e_t.reshape(-1, e_t.shape[-1]), bucketed
-                ).reshape(e_t.shape[0], e_t.shape[1], o)
-            logits, g_new = model.apply(
-                variables, f_t, e_t, ref_emb, ref_onehot, None,
-                g_t, e_prev, prev, int_mem, obj_valid,
-                method=model.propagate, gmap_override=gmap_override)
-            probs = jax.nn.softmax(logits, axis=-1)
-            return probs, (probs, g_new)
-
         # BOTH sweeps as ONE (T-1)-step scan: the step index maps to the
         # frame visit order [annot+1 .. T-1, annot-1 .. 0], the carry
         # resets to the interaction output where the backward sweep
@@ -177,12 +153,47 @@ class Evaluator:
                           annot_idx - 1 - (idx - fwd_len))
         prev_frame = jnp.where(idx < fwd_len, frame - 1, frame + 1)
         reset = idx == fwd_len
+        emb_ordered = jnp.take(emb, frame, axis=0)
+
+        gm_pre = None
+        if self.use_pallas:
+            # global matching is carry-independent: ALL frames go through
+            # the Pallas kernel in ONE batched call (better pipelining
+            # than t-1 small launches inside the scan)
+            from cvpr2020_manet_tpu.ops.matching_pallas import (
+                global_matching_prepared, prepare_ref)
+            bucketed = prepare_ref(ref_emb, ref_onehot)
+            ce = emb.shape[-1]
+            gm_pre = global_matching_prepared(
+                emb_ordered.reshape(-1, ce), bucketed
+            ).reshape(t - 1, h, w, o)
+
+        def step(carry, xs):
+            f_t, e_t, e_prev, g_t, g_pre_t, reset = xs
+            # the backward sweep starts mid-scan: reset the carry to the
+            # interaction-branch output at its first step
+            prev = jnp.where(reset, int_probs, carry)
+            logits, g_new = model.apply(
+                variables, f_t, e_t, ref_emb, ref_onehot, None,
+                g_t, e_prev, prev, int_mem, obj_valid,
+                method=model.propagate, gmap_override=g_pre_t)
+            probs = jax.nn.softmax(logits, axis=-1)
+            return probs, (probs, g_new)
+
         xs = (jnp.take(feat, frame, axis=0),
-              jnp.take(emb, frame, axis=0),
+              emb_ordered,
               jnp.take(emb, prev_frame, axis=0),
               jnp.take(gmap_mem, frame, axis=0),
+              gm_pre,
               reset)
-        _, (probs_seq, g_seq) = jax.lax.scan(step, int_probs, xs)
+        if gm_pre is None:
+            # jnp backend: matching happens inside propagate per step
+            step_fn = lambda c, x: step(
+                c, (x[0], x[1], x[2], x[3], None, x[4]))
+            xs = (xs[0], xs[1], xs[2], xs[3], xs[5])
+            _, (probs_seq, g_seq) = jax.lax.scan(step_fn, int_probs, xs)
+        else:
+            _, (probs_seq, g_seq) = jax.lax.scan(step, int_probs, xs)
 
         # scatter the visit-ordered outputs back to frame order; the
         # annotated frame keeps the interaction-branch result
