@@ -39,11 +39,16 @@ def main(argv=None):
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    import dataclasses
     from cvpr2020_manet_tpu.config import tiny_test_config
     from cvpr2020_manet_tpu.engine.train_stage1 import (
         Trainer, synthetic_batch)
 
     cfg = tiny_test_config()
+    # size the poly-LR schedule to this run (tiny config defaults to 10)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, total_steps=args.steps,
+                                       base_lr=2e-2))
     trainer = Trainer(cfg)
     v0 = {"params": jax.device_get(trainer.state.params)}
 
