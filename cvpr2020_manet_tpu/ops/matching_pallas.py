@@ -66,14 +66,16 @@ class BucketedRef(NamedTuple):
     neg2pixels: jax.Array  # (NKB * TK, C) = -2 * embeddings, object-contiguous
     sqnorm: jax.Array      # (NKB, TK) f32 = |k|^2 (1e8 on padding rows)
     block_obj: jax.Array   # (NKB,) int32: object id of each k-block
+    src_idx: jax.Array     # (NKB * TK,) int32: original ref index (-1 = pad)
     num_objects: int       # original (unpadded) object count — static
 
     def tree_flatten(self):
-        return (self.neg2pixels, self.sqnorm, self.block_obj), self.num_objects
+        return ((self.neg2pixels, self.sqnorm, self.block_obj, self.src_idx),
+                self.num_objects)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], children[2], aux)
+        return cls(*children, aux)
 
 
 def prepare_ref(
@@ -122,6 +124,8 @@ def prepare_ref(
     sqnorm = jnp.full((nkb * block_k,), WRONG_LABEL_PADDING_DISTANCE,
                       jnp.float32)
     sqnorm = sqnorm.at[dest].set(kn_rows[order], mode="drop")
+    src_idx = jnp.full((nkb * block_k,), -1, jnp.int32)
+    src_idx = src_idx.at[dest].set(order.astype(jnp.int32), mode="drop")
 
     blk = jnp.arange(nkb, dtype=jnp.int32)
     total_blocks = jnp.sum(blk_per_obj)
@@ -130,7 +134,7 @@ def prepare_ref(
     block_obj = jnp.where(blk < total_blocks, block_obj, o_pad)  # unused
     return BucketedRef(neg2pixels=neg2,
                        sqnorm=sqnorm.reshape(nkb, block_k),
-                       block_obj=block_obj, num_objects=o)
+                       block_obj=block_obj, src_idx=src_idx, num_objects=o)
 
 
 def _matching_kernel(block_obj_ref, q_ref, k2_ref, kn_ref, out_ref, acc_ref):
@@ -218,6 +222,133 @@ def global_matching_prepared(
         interpret=interpret,
     )(bucketed.block_obj, query, bucketed.neg2pixels, bucketed.sqnorm)
     return out[:nq, :o]
+
+
+def _matching_kernel_argmin(block_obj_ref, q_ref, k2_ref, kn_ref,
+                            out_ref, idx_ref, acc_ref, amin_ref):
+    """As _matching_kernel, additionally tracking the winning key's row in
+    the bucketed layout (for the custom VJP's argmin-routed gradients)."""
+    j = pl.program_id(1)
+    nkb = pl.num_programs(1)
+    tk = k2_ref.shape[0]
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.full_like(acc_ref, WRONG_LABEL_PADDING_DISTANCE)
+        amin_ref[:] = jnp.full_like(amin_ref, -1)
+
+    cross2 = jax.lax.dot_general(
+        q_ref[:], k2_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    e = cross2 + kn_ref[j, :][None, :]
+    dmin = jnp.min(e, axis=1)                       # (TQ,)
+    am = jnp.argmin(e, axis=1).astype(jnp.int32) + j * tk
+
+    obj = block_obj_ref[j]
+    row = jax.lax.broadcasted_iota(jnp.int32, acc_ref.shape, 0)
+    better = (row == obj) & (dmin[None, :] < acc_ref[:])
+    acc_ref[:] = jnp.where(better, dmin[None, :], acc_ref[:])
+    amin_ref[:] = jnp.where(better, am[None, :], amin_ref[:])
+
+    @pl.when(j == nkb - 1)
+    def _finalize():
+        q = q_ref[:].astype(jnp.float32)
+        qn = jnp.sum(jnp.square(q), axis=-1)
+        d = jnp.maximum(acc_ref[:] + qn[None, :], 0.0)
+        d = jnp.minimum(d, WRONG_LABEL_PADDING_DISTANCE)
+        norm = 1.0 - 2.0 / (1.0 + jnp.exp(jnp.minimum(d, 30.0)))
+        out_ref[:] = norm.T
+        idx_ref[:] = amin_ref[:].T
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def global_matching_prepared_argmin(
+    query: jax.Array, bucketed: BucketedRef, *,
+    block_q: int = DEFAULT_TQ, block_k: int = DEFAULT_TK,
+    interpret: bool = False,
+):
+    """-> (distances (Nq, O) f32, argmin rows in bucketed layout (Nq, O))."""
+    nq, c = query.shape
+    c_pad = bucketed.neg2pixels.shape[1]
+    nkb = bucketed.block_obj.shape[0]
+    o = bucketed.num_objects
+    o_pad = _round_up(o, 8)
+    block_q = min(block_q, _round_up(nq, 8))
+    nq_pad = _round_up(nq, block_q)
+    query = jnp.pad(query, ((0, nq_pad - nq), (0, c_pad - c)))
+
+    grid = (nq_pad // block_q, nkb)
+    spec = dict(memory_space=pltpu.VMEM)
+    out, idx = pl.pallas_call(
+        _matching_kernel_argmin,
+        out_shape=(jax.ShapeDtypeStruct((nq_pad, o_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((nq_pad, o_pad), jnp.int32)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_q, c_pad), lambda i, j, bo: (i, 0), **spec),
+                pl.BlockSpec((block_k, c_pad), lambda i, j, bo: (j, 0), **spec),
+                pl.BlockSpec((nkb, block_k), lambda i, j, bo: (0, 0), **spec),
+            ],
+            out_specs=(
+                pl.BlockSpec((block_q, o_pad), lambda i, j, bo: (i, 0), **spec),
+                pl.BlockSpec((block_q, o_pad), lambda i, j, bo: (i, 0), **spec),
+            ),
+            scratch_shapes=[pltpu.VMEM((o_pad, block_q), jnp.float32),
+                            pltpu.VMEM((o_pad, block_q), jnp.int32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(bucketed.block_obj, query, bucketed.neg2pixels, bucketed.sqnorm)
+    return out[:nq, :o], idx[:nq, :o]
+
+
+@jax.custom_vjp
+def global_matching_trainable(query, ref, ref_onehot):
+    """Differentiable Pallas global matching (SURVEY.md §8 hard parts:
+    the reference trains THROUGH the hard min; gradients route to the
+    winning reference pixel — argmin routing — exactly the subgradient the
+    jnp oracle's min produces)."""
+    bucketed = prepare_ref(ref, ref_onehot)
+    out, _ = global_matching_prepared_argmin(query, bucketed)
+    return out
+
+
+def _gm_train_fwd(query, ref, ref_onehot):
+    bucketed = prepare_ref(ref, ref_onehot)
+    out, amin_b = global_matching_prepared_argmin(query, bucketed)
+    amin = jnp.where(amin_b >= 0, bucketed.src_idx[amin_b], -1)  # (Nq, O)
+    return out, (query, ref, amin)
+
+
+def _gm_train_bwd(res, g):
+    query, ref, amin = res
+    nq, o = amin.shape
+    nk = ref.shape[0]
+    q32 = query.astype(jnp.float32)
+    k32 = ref.astype(jnp.float32)
+    k_a = jnp.take(k32, jnp.clip(amin, 0, nk - 1), axis=0)   # (Nq, O, C)
+    diff = q32[:, None, :] - k_a
+    d = jnp.sum(jnp.square(diff), axis=-1)                   # (Nq, O)
+    # d(norm)/dd = 2 sigmoid(d) sigmoid(-d); clamp region (d >= 30) and
+    # empty objects (amin < 0) get exactly zero gradient
+    sig = jax.nn.sigmoid(d)
+    deriv = 2.0 * sig * (1.0 - sig)
+    gd = g * deriv * ((amin >= 0) & (d < 30.0))
+    gq = jnp.sum(2.0 * diff * gd[..., None], axis=1)         # (Nq, C)
+    scatter_idx = jnp.where(amin >= 0, amin, nk)             # drop invalid
+    gk = jnp.zeros((nk, ref.shape[1]), jnp.float32).at[
+        scatter_idx.reshape(-1)].add(
+        (-2.0 * diff * gd[..., None]).reshape(-1, ref.shape[1]),
+        mode="drop")
+    g_onehot = jnp.zeros((nk, o), jnp.float32)   # labels: no gradient
+    return (gq.astype(query.dtype), gk.astype(ref.dtype), g_onehot)
+
+
+global_matching_trainable.defvjp(_gm_train_fwd, _gm_train_bwd)
 
 
 @functools.partial(
