@@ -47,6 +47,11 @@ def _unfold_logits(logits: jax.Array) -> jax.Array:
 class MANet(nn.Module):
     cfg: ModelConfig
     matching_backend: str = "auto"   # "auto" | "jnp" | "pallas"
+    # Training through the matching on the pallas backend: use the
+    # custom-VJP argmin-routed kernel for global matching (ops/
+    # matching_pallas.global_matching_trainable) and the differentiable
+    # jnp path for local matching. Eval keeps the leaner plain kernels.
+    trainable_matching: bool = False
 
     def setup(self):
         cfg = self.cfg
@@ -199,13 +204,20 @@ class MANet(nn.Module):
 
     def _global_matching(self, query, ref_emb, ref_onehot, ref_valid):
         if self._backend() == "pallas":
+            if self.trainable_matching:
+                from cvpr2020_manet_tpu.ops.matching_pallas import (
+                    global_matching_trainable)
+                gate = ref_onehot
+                if ref_valid is not None:
+                    gate = gate * ref_valid.astype(gate.dtype)[:, None]
+                return global_matching_trainable(query, ref_emb, gate)
             from cvpr2020_manet_tpu.ops.matching_pallas import (
                 global_matching_pallas)
             return global_matching_pallas(query, ref_emb, ref_onehot, ref_valid)
         return M.global_matching(query, ref_emb, ref_onehot, ref_valid)
 
     def _local_matching(self, query, prev, prev_onehot):
-        if self._backend() == "pallas":
+        if self._backend() == "pallas" and not self.trainable_matching:
             from cvpr2020_manet_tpu.ops.local_matching_pallas import (
                 local_matching_pallas)
             return local_matching_pallas(query, prev, prev_onehot,
