@@ -25,15 +25,19 @@ class ModelConfig:
     backbone_width: int = 64
     output_stride: int = 16          # dilated stage-4, DeepLabV3+ standard
     aspp_channels: int = 256
-    decoder_channels: int = 256
+    # 128 (not DeepLab's 256): the object-folded decoder heads replicate
+    # these activations per object, and the heads are HBM-bandwidth-bound
+    # on TPU — halving the width halves the whole propagation head's
+    # wall-clock (measured on v5e; see models/heads.ConvStack).
+    decoder_channels: int = 128
     low_level_channels: int = 48     # DeepLabV3+ low-level projection
     embedding_dim: int = 100         # pixel-embedding dim (ref uses ~100-d)
     # Kernel-facing embedding dim: embeddings are zero-padded to a lane
     # multiple so the Pallas matching kernel sees aligned tiles.
     embedding_dim_padded: int = 128
     feature_stride: int = 4          # final feature map stride (FEELVOS lineage)
-    head_channels: int = 256
-    ma_channels: int = 256           # interaction-feature / memory channels
+    head_channels: int = 128
+    ma_channels: int = 128           # interaction-feature / memory channels
     norm: str = "gn"                 # "gn" | "bn" | "syncbn" (see parallel/syncbn.py)
     gn_groups: int = 32
     dtype: str = "bfloat16"          # activations; params stay float32

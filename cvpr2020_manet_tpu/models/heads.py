@@ -27,30 +27,27 @@ from cvpr2020_manet_tpu.models.layers import make_norm
 
 
 class ConvStack(nn.Module):
-    """Depthwise-separable 7x7 conv stack (FEELVOS-lineage head design:
-    the reference's dynamic segmentation head uses stacked 7x7
-    depthwise-separable convs — and it is ~10x cheaper on the MXU than
-    dense 3x3 at the same channel width: the pointwise 1x1 is a pure
-    matmul, the depthwise 7x7 is a thin VPU pass)."""
+    """Dense 3x3 conv stack.
+
+    Measured on v5e: the object-folded head is HBM-BANDWIDTH-bound, not
+    FLOPs-bound (even pure 1x1 stacks run at the same wall clock as 3x3;
+    depthwise-separable 7x7 is *slower* — DW convs don't use the MXU).
+    The perf lever is channel width (config head/ma/decoder channels), not
+    kernel factorization, so keep the dense 3x3 of the reference's heads.
+    """
 
     channels: int
     depth: int
     norm: str
     gn_groups: int
     dtype: Any
-    kernel: int = 7
 
     @nn.compact
     def __call__(self, x):
         norm_ctor = make_norm(self.norm, self.dtype, self.gn_groups)
-        k = self.kernel
         for i in range(self.depth):
-            cin = x.shape[-1]
-            x = nn.Conv(cin, (k, k), feature_group_count=cin,
-                        use_bias=False, dtype=self.dtype,
-                        name=f"dw{i}")(x)
-            x = nn.Conv(self.channels, (1, 1), use_bias=False,
-                        dtype=self.dtype, name=f"pw{i}")(x)
+            x = nn.Conv(self.channels, (3, 3), use_bias=False,
+                        dtype=self.dtype, name=f"conv{i}")(x)
             x = nn.relu(norm_ctor()(x))
         return x
 
@@ -94,8 +91,7 @@ class DynamicSegHead(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # 4 separable convs — the FEELVOS/MANet dynamic-head depth
-        y = ConvStack(self.head_channels, 4, self.norm, self.gn_groups,
+        y = ConvStack(self.head_channels, 3, self.norm, self.gn_groups,
                       self.dtype, name="stack")(x)
         return nn.Conv(1, (1, 1), dtype=jnp.float32, name="logit")(y)
 
