@@ -30,7 +30,7 @@ import numpy as np
 
 from cvpr2020_manet_tpu.config import Config
 from cvpr2020_manet_tpu.interactive.scribbles import (
-    annotated_frames, scribble_masks_per_object, scribbles2mask)
+    annotated_frames, scribbles2mask)
 from cvpr2020_manet_tpu.models.layers import resize_bilinear
 from cvpr2020_manet_tpu.models.manet import MANet
 
@@ -101,7 +101,7 @@ class Evaluator:
         return self.model.apply(self.variables, images,
                                 method=self.model.extract_features)
 
-    def _round_impl(self, feat, emb, pos_scr, neg_scr, annot_idx,
+    def _round_impl(self, feat, emb, raster, annot_idx,
                     prev_masks, gmap_mem, int_mem, is_first, obj_valid,
                     frame_valid, round_idx=None, mem_emb=None,
                     mem_onehot=None, *, mask_hw=None):
@@ -109,6 +109,18 @@ class Evaluator:
         t, h, w, _ = feat.shape
         o = self.o
         neg_inf = -1e9
+
+        # scribble raster (H_pad, W_pad) int32, -1 = unscribbled — one-hot
+        # + presence max-pool to feature stride happen ON DEVICE (the
+        # raster upload is 4x smaller than per-object pos/neg maps and the
+        # host-side numpy pooling was ~77 ms of the round)
+        s = self.stride
+        scr = (raster >= 0).astype(jnp.float32)[..., None]
+        oh = jax.nn.one_hot(jnp.clip(raster, 0, o - 1), o,
+                            dtype=jnp.float32) * scr
+        blockmax = lambda x: x.reshape(h, s, w, s, o).max(axis=(1, 3))
+        pos_scr = blockmax(oh)
+        neg_scr = blockmax(scr - oh)
 
         f_a = feat[annot_idx]
         prev_a = prev_masks[annot_idx]
@@ -265,12 +277,15 @@ class Evaluator:
         t0 = time.perf_counter()
         af = annotated_frames(scribbles_json)
         annot = af[0] if af else 0
-        raster = scribbles2mask(scribbles_json, image_hw)[annot]
-        pos, neg = scribble_masks_per_object(raster, cfg.model.max_objects)
-        pos = pad_image_to(pos, cfg.eval.pad_to)
-        neg = pad_image_to(neg, cfg.eval.pad_to)
-        pos = downsample_mask_max(pos, self.stride)
-        neg = downsample_mask_max(neg, self.stride)
+        # rasterize ONLY the annotated frame (full-video rasterization was
+        # a 26 MB numpy allocation per round)
+        one_frame = {"sequence": scribbles_json["sequence"],
+                     "scribbles": [scribbles_json["scribbles"][annot]]}
+        raster = scribbles2mask(one_frame, image_hw)[0]
+        raster = np.pad(raster,
+                        [((0, (-image_hw[0]) % cfg.eval.pad_to)),
+                         ((0, (-image_hw[1]) % cfg.eval.pad_to))],
+                        constant_values=-1)
 
         obj_valid = np.zeros((self.o,), np.float32)
         obj_valid[:num_objects + 1] = 1.0
@@ -280,7 +295,7 @@ class Evaluator:
         h_img, w_img = image_hw
         h_pad = h_img + ((-h_img) % cfg.eval.pad_to)
         w_pad = w_img + ((-w_img) % cfg.eval.pad_to)
-        args = (state.feat, state.emb, jnp.asarray(pos), jnp.asarray(neg),
+        args = (state.feat, state.emb, jnp.asarray(raster, jnp.int32),
                 jnp.asarray(annot, jnp.int32), state.prev_masks,
                 state.gmap_mem, state.int_mem,
                 jnp.asarray(state.round_idx == 0),
