@@ -107,7 +107,7 @@ class Evaluator:
                     mem_onehot=None, *, mask_hw=None):
         model, variables = self.model, self.variables
         t, h, w, _ = feat.shape
-        o = self.o
+        o = prev_masks.shape[-1]     # object bucket of this sequence
         neg_inf = -1e9
 
         # scribble raster (H_pad, W_pad) int32, -1 = unscribbled — one-hot
@@ -231,10 +231,23 @@ class Evaluator:
 
     # ---------------- host orchestration ------------------------------- #
 
-    def start_sequence(self, images: np.ndarray) -> SequenceState:
+    def object_bucket(self, num_objects: int | None) -> int:
+        """Padded object-axis size for a sequence. Small buckets save
+        ~linear head/matching time (most DAVIS sequences have <= 3
+        objects); one compilation is cached per bucket."""
+        if num_objects is None:
+            return self.o
+        for b in sorted({min(4, self.o), self.o}):
+            if num_objects + 1 <= b:
+                return b
+        return self.o
+
+    def start_sequence(self, images: np.ndarray,
+                       num_objects: int | None = None) -> SequenceState:
         """Extract + cache features for all frames (the once-per-video
         cost), init memories."""
         cfg = self.cfg
+        o = self.object_bucket(num_objects)
         t_actual = images.shape[0]
         t_pad = cfg.eval.max_frames
         images = pad_image_to(images.astype(np.float32), cfg.eval.pad_to)
@@ -255,7 +268,6 @@ class Evaluator:
         feat = jnp.concatenate(feats, axis=0)
         emb = jnp.concatenate(embs, axis=0)
         t, h, w = t_pad, feat.shape[1], feat.shape[2]
-        o = self.o
         prev = jnp.zeros((t, h, w, o), jnp.float32).at[..., 0].set(1.0)
         mem_emb = mem_onehot = None
         if self.memory_mode == "stacked":
@@ -287,7 +299,9 @@ class Evaluator:
                          ((0, (-image_hw[1]) % cfg.eval.pad_to))],
                         constant_values=-1)
 
-        obj_valid = np.zeros((self.o,), np.float32)
+        o_bucket = state.prev_masks.shape[-1]
+        assert num_objects + 1 <= o_bucket, (num_objects, o_bucket)
+        obj_valid = np.zeros((o_bucket,), np.float32)
         obj_valid[:num_objects + 1] = 1.0
         frame_valid = (np.arange(cfg.eval.max_frames)
                        < state.num_frames).astype(bool)
@@ -334,7 +348,8 @@ class Evaluator:
                 key = sess.current
                 if key not in states:
                     images = sess.dataset.images(seq)
-                    states[key] = self.start_sequence(images)
+                    states[key] = self.start_sequence(
+                        images, sess.dataset.num_objects(seq))
                 st = states[key]
                 gt_hw = sess.dataset.gt_masks(seq).shape[1:]
                 masks = self.run_round(
