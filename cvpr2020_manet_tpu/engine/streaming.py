@@ -58,7 +58,10 @@ class StreamingIVOS:
     # ------------------------------------------------------------------ #
 
     def reset(self, num_objects: int) -> None:
-        hh, ww, o = self.hh, self.ww, self.o
+        hh, ww = self.hh, self.ww
+        # object bucket: small sequences get small graphs (cost ~linear in O)
+        o = 4 if num_objects + 1 <= 4 <= self.o else self.o
+        self._o_bucket = o
         m = self.capacity * hh * ww
         obj_valid = np.zeros((o,), np.float32)
         obj_valid[:num_objects + 1] = 1.0
@@ -82,7 +85,7 @@ class StreamingIVOS:
     def _observe_impl(self, image, mem_emb, mem_onehot, int_mem,
                       prev_emb, prev_probs, obj_valid, has_memory):
         model, variables = self.model, self.variables
-        o = self.o
+        o = mem_onehot.shape[-1]
         feat, emb = model.apply(variables, image[None],
                                 method=model.extract_features)
         f_t, e_t = feat[0], emb[0]
@@ -103,7 +106,7 @@ class StreamingIVOS:
                       mem_emb, mem_onehot, int_mem, obj_valid, round_idx,
                       is_first):
         model, variables = self.model, self.variables
-        o = self.o
+        o = mem_onehot.shape[-1]
         int_feats, int_logits = model.apply(
             variables, cur_feat, pos, neg, cur_probs, method=model.interact)
         int_mem = model.apply(variables, int_feats, int_mem, is_first,
@@ -149,8 +152,7 @@ class StreamingIVOS:
         h, w = self.cfg.eval.image_size
         af = annotated_frames(scribbles_json)
         raster = scribbles2mask(scribbles_json, (h, w))[af[0] if af else 0]
-        pos, neg = scribble_masks_per_object(
-            raster, self.cfg.model.max_objects)
+        pos, neg = scribble_masks_per_object(raster, self._o_bucket - 1)
         pos = downsample_mask_max(pad_image_to(pos, self.cfg.eval.pad_to),
                                   self.stride)
         neg = downsample_mask_max(pad_image_to(neg, self.cfg.eval.pad_to),
