@@ -89,6 +89,14 @@ class EvalConfig:
     # semantics, SURVEY.md C8). "stacked": literal matching against ALL
     # stored rounds' annotated pixels (BASELINE config 3/5).
     matching_memory: str = "min_fused"
+    # Mask readback stride: probabilities are bilinearly upsampled to
+    # image_resolution/mask_stride on device, argmaxed, and the label map
+    # is nearest-expanded on the host. 1 = exact full-resolution argmax
+    # (default; protocol fidelity). 2 quarters device->host mask traffic
+    # (~10 ms/frame over this sandbox's TPU tunnel) and only moves labels
+    # inside the model's own low-confidence boundary band (pinned by
+    # tests) — opt-in for latency-sensitive serving.
+    mask_stride: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -307,8 +307,9 @@ class Evaluator:
                        < state.num_frames).astype(bool)
 
         h_img, w_img = image_hw
-        h_pad = h_img + ((-h_img) % cfg.eval.pad_to)
-        w_pad = w_img + ((-w_img) % cfg.eval.pad_to)
+        ms = cfg.eval.mask_stride
+        h_pad = (h_img + ((-h_img) % cfg.eval.pad_to)) // ms
+        w_pad = (w_img + ((-w_img) % cfg.eval.pad_to)) // ms
         args = (state.feat, state.emb, jnp.asarray(raster, jnp.int32),
                 jnp.asarray(annot, jnp.int32), state.prev_masks,
                 state.gmap_mem, state.int_mem,
@@ -328,8 +329,10 @@ class Evaluator:
         state.prev_masks, state.gmap_mem, state.int_mem = probs, gmap, int_mem
         state.round_idx += 1
 
-        masks = np.asarray(masks)[:state.num_frames, :h_img, :w_img]
-        masks = masks.astype(np.int32)
+        masks = np.asarray(masks)[:state.num_frames]
+        if ms > 1:
+            masks = np.repeat(np.repeat(masks, ms, axis=1), ms, axis=2)
+        masks = masks[:, :h_img, :w_img].astype(np.int32)
         self.round_latencies.append(time.perf_counter() - t0)
         return masks
 
