@@ -38,7 +38,10 @@ class ModelConfig:
     feature_stride: int = 4          # final feature map stride (FEELVOS lineage)
     head_channels: int = 128
     ma_channels: int = 128           # interaction-feature / memory channels
-    norm: str = "gn"                 # "gn" | "bn" | "syncbn" (see parallel/syncbn.py)
+    norm: str = "gn"                 # backbone/encoder norm: "gn" | "bn" | "syncbn" | "frozen"
+    # decoder-head norm; "ln" (per-pixel channel LayerNorm) is required by
+    # the fused Pallas head kernel (ops/fused_head_pallas.py)
+    head_norm: str = "ln"
     gn_groups: int = 32
     dtype: str = "bfloat16"          # activations; params stay float32
 
