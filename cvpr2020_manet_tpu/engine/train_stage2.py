@@ -215,17 +215,47 @@ class Stage2Trainer:
 def main(argv=None):
     import argparse
     from cvpr2020_manet_tpu.config import tiny_test_config
+    from cvpr2020_manet_tpu.utils.logging import MetricLogger
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--init_from", default=None,
+                   help="stage-1 snapshot dir to initialize params from")
+    p.add_argument("--snapshot_dir", default=None)
+    p.add_argument("--log_dir", default=None)
     args = p.parse_args(argv)
 
     cfg = tiny_test_config() if args.tiny else Config()
     trainer = Stage2Trainer(cfg)
+    logger = MetricLogger(args.log_dir)
+
+    if args.init_from:
+        # stage 2 starts from the stage-1 snapshot (SURVEY.md §4.4: same
+        # skeleton, now training the interaction branch + MA gate on top)
+        from cvpr2020_manet_tpu.utils.checkpoint import CheckpointManager
+        src = CheckpointManager(args.init_from)
+        restored = src.restore(trainer.state)
+        trainer.state = trainer.state.replace(params=restored.params)
+        print(f"initialized from stage-1 step {int(restored.step)}")
+
+    mgr = None
+    if args.snapshot_dir:
+        from cvpr2020_manet_tpu.utils.checkpoint import CheckpointManager
+        mgr = CheckpointManager(args.snapshot_dir)
+        if mgr.latest_step() is not None:
+            trainer.state = mgr.restore(trainer.state)
+            print(f"resumed from step {int(trainer.state.step)}")
+
     rng = np.random.default_rng(cfg.train.seed)
-    for step in range(args.steps):
+    start = int(trainer.state.step)
+    for step in range(start, start + args.steps):
         metrics = trainer.train_step(synthetic_batch(cfg, rng))
-        print(f"step {step}: loss={float(metrics['loss']):.4f}")
+        logger.write(step, metrics)
+        if mgr is not None and (step + 1) % cfg.train.checkpoint_every == 0:
+            mgr.save(trainer.state)
+    if mgr is not None:
+        mgr.save(trainer.state)
+    logger.flush()
 
 
 if __name__ == "__main__":
