@@ -64,3 +64,32 @@ def test_dryrun_multichip():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as entry
     entry.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_clean_subprocess():
+    """Run dryrun_multichip the way the DRIVER does: a fresh process with
+    NO conftest platform pinning, so the sandbox's default axon-TPU backend
+    registration is live. Round-1 failed exactly here (MULTICHIP_r01.json:
+    libtpu mismatch from an op dispatched to the default TPU backend) while
+    the in-pytest test passed because conftest.py had already pinned CPU.
+    dryrun_multichip must pin the platform itself."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # driver does not set it
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as e; e.dryrun_multichip(8)"],
+        cwd="/root/repo", env=env, capture_output=True, text=True,
+        timeout=560)
+    assert proc.returncode == 0, (
+        f"dryrun_multichip failed in clean subprocess:\n"
+        f"--- stdout ---\n{proc.stdout[-2000:]}\n"
+        f"--- stderr ---\n{proc.stderr[-2000:]}")
+    assert "OK" in proc.stdout
