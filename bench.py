@@ -29,7 +29,8 @@ import numpy as np
 
 REF_GPU_PROP_FPS = 20.0
 FRAMES = 16          # frames per synthetic 480p sequence
-ROUNDS = 4           # timed rounds (first round = compile, excluded)
+WARMUP = 2           # untimed rounds (compile + steady-state dispatch)
+ROUNDS = 8           # timed rounds; metric = median (tunnel RTT jitters)
 
 
 def main():
@@ -65,14 +66,18 @@ def main():
         jnp.zeros((1, hh, ww, o)), jnp.zeros((1, hh, ww, o)))
 
     evaluator = Evaluator(cfg, model, variables)
-    state = evaluator.start_sequence(ds.images(seq))
+    # num_objects selects the 4-wide object bucket (2 objects + bg fit);
+    # the realistic case — most DAVIS sequences have <= 3 objects.
+    state = evaluator.start_sequence(ds.images(seq), ds.num_objects(seq))
 
     robot = InteractiveScribblesRobot()
     masks = np.zeros_like(gt)
-    # warm-up round: compiles the round graph
-    scr = robot.interact(seq, masks, gt, ds.num_objects(seq))
-    masks = evaluator.run_round(state, scr.to_json(), gt.shape[1:],
-                                ds.num_objects(seq))
+    # warm-up rounds: first compiles the round graph, second confirms the
+    # steady-state dispatch path (donated buffers, cached executables)
+    for _ in range(WARMUP):
+        scr = robot.interact(seq, masks, gt, ds.num_objects(seq))
+        masks = evaluator.run_round(state, scr.to_json(), gt.shape[1:],
+                                    ds.num_objects(seq))
     evaluator.round_latencies.clear()
 
     for _ in range(ROUNDS):

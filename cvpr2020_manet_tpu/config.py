@@ -88,7 +88,12 @@ class EvalConfig:
     scribble_sets: int = 3
     max_time_per_interaction: float = 30.0
     metric_at_seconds: float = 60.0            # J&F @ 60 s report point
-    max_frames: int = 104                      # padded frame bucket (longest DAVIS val seq ~100)
+    max_frames: int = 104                      # largest frame bucket (longest DAVIS val seq ~100)
+    # Padded frame-axis buckets: a sequence compiles/runs in the smallest
+    # bucket that fits, so short sequences don't pay the max_frames-step
+    # round scan. Each bucket must divide by the 8-frame extraction chunk
+    # (or be < 8). One cached round compilation per (frame, object) bucket.
+    frame_buckets: Tuple[int, ...] = (16, 32, 64, 104)
     # "min_fused": per-frame elementwise-min global-map memory (MANet
     # semantics, SURVEY.md C8). "stacked": literal matching against ALL
     # stored rounds' annotated pixels (BASELINE config 3/5).

@@ -46,6 +46,23 @@ def pad_image_to(x: np.ndarray, multiple: int) -> np.ndarray:
     return np.pad(x, pad)
 
 
+def unpack_labels(packed: np.ndarray, bits: int) -> np.ndarray:
+    """Inverse of the device-side W-axis bit packing in `_masks_impl`:
+    (..., W // ppb) uint8 -> (..., W) uint8, ppb = 8 // bits.
+
+    Strided in-place field writes (no stack/reshape copy) — the unpack
+    sits on the interactive round's critical path."""
+    if bits == 8:
+        return packed
+    n = 8 // bits
+    mask = (1 << bits) - 1
+    out = np.empty((*packed.shape[:-1], packed.shape[-1] * n), np.uint8)
+    for i in range(n):
+        np.bitwise_and(packed >> (bits * i) if i else packed, mask,
+                       out=out[..., i::n])
+    return out
+
+
 def downsample_mask_max(m: np.ndarray, stride: int) -> np.ndarray:
     """(H, W, O) -> (H/s, W/s, O) presence max-pool — thin scribble lines
     survive downsampling to feature resolution."""
@@ -110,11 +127,13 @@ class Evaluator:
         o = prev_masks.shape[-1]     # object bucket of this sequence
         neg_inf = -1e9
 
-        # scribble raster (H_pad, W_pad) int32, -1 = unscribbled — one-hot
+        # scribble raster (H_pad, W_pad) int8, -1 = unscribbled — one-hot
         # + presence max-pool to feature stride happen ON DEVICE (the
-        # raster upload is 4x smaller than per-object pos/neg maps and the
-        # host-side numpy pooling was ~77 ms of the round)
+        # raster upload is 16x smaller than per-object pos/neg maps and the
+        # host-side numpy pooling was ~77 ms of the round; int8 instead of
+        # int32 saves another ~30 ms of tunnel time per round)
         s = self.stride
+        raster = raster.astype(jnp.int32)
         scr = (raster >= 0).astype(jnp.float32)[..., None]
         oh = jax.nn.one_hot(jnp.clip(raster, 0, o - 1), o,
                             dtype=jnp.float32) * scr
@@ -221,13 +240,33 @@ class Evaluator:
         return probs, gmap, int_mem, masks
 
     def _masks_impl(self, probs, *, hw):
-        """(T, h, w, O) -> (T, H, W) argmax labels at image resolution.
+        """(T, h, w, O) -> (T, H, W // ppb) BIT-PACKED argmax labels.
 
-        One batched upsample (fast integer-factor path) + argmax; uint8
-        output so the device->host transfer is 4x smaller (the transfer
-        rides the TPU tunnel and was measured at ~650 ms for int32)."""
+        One batched upsample (fast integer-factor path) + argmax, then the
+        uint8 label map is packed along W — 4 pixels/byte for the common
+        <=4-object bucket, 2 pixels/byte otherwise. Lossless: labels are
+        < O <= 16. The device->host transfer rides a ~40 MB/s tunnel and
+        was the single largest round cost (~160 ms for 16 frames of plain
+        uint8 at 480p); packing cuts it 4x/2x for one cheap elementwise op.
+        Host side unpacks with `unpack_labels`."""
         up = resize_bilinear(probs, hw)
-        return jnp.argmax(up, axis=-1).astype(jnp.uint8)
+        lab = jnp.argmax(up, axis=-1).astype(jnp.uint8)
+        bits = self._mask_bits(probs.shape[-1])
+        if bits == 2:
+            return (lab[..., 0::4] | (lab[..., 1::4] << 2)
+                    | (lab[..., 2::4] << 4) | (lab[..., 3::4] << 6))
+        if bits == 4:
+            return lab[..., 0::2] | (lab[..., 1::2] << 4)
+        return lab
+
+    @staticmethod
+    def _mask_bits(o_bucket: int) -> int:
+        """Bits per pixel in the packed mask transfer for an object bucket."""
+        if o_bucket <= 4:
+            return 2
+        if o_bucket <= 16:
+            return 4
+        return 8
 
     # ---------------- host orchestration ------------------------------- #
 
@@ -242,6 +281,21 @@ class Evaluator:
                 return b
         return self.o
 
+    def frame_bucket(self, num_frames: int) -> int:
+        """Padded frame-axis size for a sequence: the smallest enabled
+        bucket that fits. Short sequences stop paying the full
+        max_frames-step round scan (a 35-frame DAVIS sequence in the
+        64-bucket does ~40% of the 104-bucket's matching/decoder work);
+        one round compilation is cached per (frame bucket, object bucket)."""
+        cfg = self.cfg
+        for b in sorted(set(cfg.eval.frame_buckets) | {cfg.eval.max_frames}):
+            if num_frames <= b <= cfg.eval.max_frames:
+                return b
+        raise ValueError(
+            f"sequence has {num_frames} frames > eval.max_frames="
+            f"{cfg.eval.max_frames}; raise --max_frames (and ensure a "
+            f"frame bucket covers it)")
+
     def start_sequence(self, images: np.ndarray,
                        num_objects: int | None = None) -> SequenceState:
         """Extract + cache features for all frames (the once-per-video
@@ -249,7 +303,7 @@ class Evaluator:
         cfg = self.cfg
         o = self.object_bucket(num_objects)
         t_actual = images.shape[0]
-        t_pad = cfg.eval.max_frames
+        t_pad = self.frame_bucket(t_actual)
         images = pad_image_to(images.astype(np.float32), cfg.eval.pad_to)
         if t_actual < t_pad:
             images = np.concatenate(
@@ -303,14 +357,14 @@ class Evaluator:
         assert num_objects + 1 <= o_bucket, (num_objects, o_bucket)
         obj_valid = np.zeros((o_bucket,), np.float32)
         obj_valid[:num_objects + 1] = 1.0
-        frame_valid = (np.arange(cfg.eval.max_frames)
-                       < state.num_frames).astype(bool)
+        t_bucket = state.feat.shape[0]
+        frame_valid = (np.arange(t_bucket) < state.num_frames).astype(bool)
 
         h_img, w_img = image_hw
         ms = cfg.eval.mask_stride
         h_pad = (h_img + ((-h_img) % cfg.eval.pad_to)) // ms
         w_pad = (w_img + ((-w_img) % cfg.eval.pad_to)) // ms
-        args = (state.feat, state.emb, jnp.asarray(raster, jnp.int32),
+        args = (state.feat, state.emb, jnp.asarray(raster, jnp.int8),
                 jnp.asarray(annot, jnp.int32), state.prev_masks,
                 state.gmap_mem, state.int_mem,
                 jnp.asarray(state.round_idx == 0),
@@ -330,6 +384,7 @@ class Evaluator:
         state.round_idx += 1
 
         masks = np.asarray(masks)[:state.num_frames]
+        masks = unpack_labels(masks, self._mask_bits(o_bucket))
         if ms > 1:
             masks = np.repeat(np.repeat(masks, ms, axis=1), ms, axis=2)
         masks = masks[:, :h_img, :w_img].astype(np.int32)

@@ -6,13 +6,17 @@ Protocol role (HIGH confidence, SURVEY.md §1): after each round the service
 corrective scribbles on that frame's error regions, and returns them.
 
 Implementation note: davisinteractive skeletonizes each error region
-(skimage) and walks the skeleton graph (networkx). skimage is not in this
-image, so the same intent — "a polyline along the spine of the largest
-error region, safely inside it" — is realized with SciPy + BFS geodesics:
-erode the region, take the largest connected component, then take the
-(approximate) graph diameter path via double-BFS over component pixels.
-Semantics are pinned by tests (scribbles lie inside the error region, are
-long enough, and label the correct object).
+(skimage medial axis) and walks the skeleton graph (networkx) for the
+longest path. The same semantics — "a polyline along the SPINE of the
+largest error region, safely inside it" — run in the native C++ kernel
+(native/robot.cpp: exact-EDT proportional shrink + Zhang-Suen thinning +
+double-BFS skeleton diameter, O(HW), ~10 ms at 480p vs ~20 s for the
+pure-Python round-1 version). Fallback without a compiler: SciPy EDT
+shrink + double-BFS geodesic diameter over the region itself (corner-to-
+corner rather than spine paths — an approximation; tests pin the spine
+behavior only when the native kernel is available). Both paths are pinned
+by tests: scribbles lie inside the error region, are long enough, and
+label the correct object.
 """
 
 from __future__ import annotations
@@ -122,19 +126,59 @@ class InteractiveScribblesRobot:
     def _scribble_region(self, err: np.ndarray, obj: int,
                          shape: tuple[int, int]) -> Optional[dict]:
         p = self.params
+        path = self._spine_path_native(err)
+        if path is None:
+            path = self._spine_path_fallback(err)
+        if path is None or len(path) < p.min_path_nodes:
+            return None
+        path = path[::p.sample_every] + [path[-1]]
+        h, w = shape
+        norm = [[x / max(w - 1, 1), y / max(h - 1, 1)] for (y, x) in path]
+        return {"path": norm, "object_id": int(obj),
+                "start_time": 0.0, "end_time": 0.0}
+
+    def _spine_path_native(self, err: np.ndarray) \
+            -> Optional[List[tuple[int, int]]]:
+        """Skeleton spine of the largest error region via native/robot.cpp
+        (EDT shrink + Zhang-Suen thinning + skeleton diameter)."""
+        from cvpr2020_manet_tpu import native
+        handle = native.lib()
+        if handle is None:
+            return None
+        import ctypes
+        p = self.params
+        h, w = err.shape
+        e = np.ascontiguousarray(err.astype(np.uint8))
+        max_pts = h * w
+        out = np.empty((max_pts, 2), np.int32)
+        npts = handle.scribble_path(
+            e.ctypes.data_as(ctypes.c_void_p), h, w,
+            ctypes.c_float(p.kernel_size), p.min_region_pixels,
+            p.min_path_nodes, out.ctypes.data_as(ctypes.c_void_p), max_pts)
+        # npts == 0 => native ran but found no usable region: report the
+        # empty path (caller drops it) rather than None (= "no native lib")
+        return [(int(y), int(x)) for y, x in out[:npts]]
+
+    def _spine_path_fallback(self, err: np.ndarray) \
+            -> Optional[List[tuple[int, int]]]:
+        """Pure-Python approximation (no compiler): EDT proportional
+        shrink, then double-BFS geodesic diameter over the region."""
+        p = self.params
         labels, n = ndimage.label(err, structure=np.ones((3, 3)))
         if n == 0:
             return None
         sizes = ndimage.sum_labels(err, labels, index=np.arange(1, n + 1))
         comp = labels == (1 + int(np.argmax(sizes)))
-        # erode proportionally to region scale so the scribble stays inside
-        radius = max(1, int(p.kernel_size * np.sqrt(comp.sum())))
-        eroded = ndimage.binary_erosion(
-            comp, structure=np.ones((2 * radius + 1,) * 2, bool))
-        region = eroded if eroded.sum() >= p.min_path_nodes else comp
-        if region.sum() < p.min_path_nodes:
+        if comp.sum() < p.min_region_pixels:
             return None
-        # keep the largest component after erosion
+        # disk erosion == EDT-to-background thresholding (pad replicates
+        # scipy border_value=0), ~100x faster than a structuring element
+        # proportional to region size
+        radius = max(1, int(p.kernel_size * np.sqrt(comp.sum())))
+        d = ndimage.distance_transform_edt(np.pad(comp, 1))[1:-1, 1:-1]
+        region = comp & (d > radius)
+        if region.sum() < p.min_path_nodes:
+            region = comp
         labels2, n2 = ndimage.label(region, structure=np.ones((3, 3)))
         if n2 > 1:
             sizes2 = ndimage.sum_labels(
@@ -143,11 +187,7 @@ class InteractiveScribblesRobot:
         path = _diameter_path(region)
         if len(path) < p.min_path_nodes:
             return None
-        path = path[::p.sample_every] + [path[-1]]
-        h, w = shape
-        norm = [[x / max(w - 1, 1), y / max(h - 1, 1)] for (y, x) in path]
-        return {"path": norm, "object_id": int(obj),
-                "start_time": 0.0, "end_time": 0.0}
+        return path
 
     def interact(self, sequence: str, pred: np.ndarray, gt: np.ndarray,
                  num_objects: int,

@@ -9,7 +9,7 @@ import pytest
 from cvpr2020_manet_tpu.config import tiny_test_config
 from cvpr2020_manet_tpu.data import SyntheticDataset
 from cvpr2020_manet_tpu.engine.evaluator import (
-    Evaluator, downsample_mask_max, pad_image_to)
+    Evaluator, downsample_mask_max, pad_image_to, unpack_labels)
 from cvpr2020_manet_tpu.interactive.session import InteractiveSession
 from cvpr2020_manet_tpu.models import MANet
 
@@ -24,6 +24,70 @@ def test_pad_and_downsample_helpers():
     d = downsample_mask_max(m, 4)
     assert d.shape == (2, 2, 2)
     assert d[0, 1, 1] == 1.0 and d.sum() == 1.0
+
+
+@pytest.mark.parametrize("o_bucket,bits", [(3, 2), (4, 2), (9, 4), (17, 8)])
+def test_mask_bitpack_roundtrip(rng, o_bucket, bits):
+    """Device-side bit packing of argmax labels is lossless for any label
+    < o_bucket; host unpack_labels inverts it exactly."""
+    assert Evaluator._mask_bits(o_bucket) == bits
+    lab = rng.integers(0, o_bucket, size=(2, 6, 48)).astype(np.uint8)
+    if bits == 2:
+        packed = (lab[..., 0::4] | (lab[..., 1::4] << 2)
+                  | (lab[..., 2::4] << 4) | (lab[..., 3::4] << 6))
+    elif bits == 4:
+        packed = lab[..., 0::2] | (lab[..., 1::2] << 4)
+    else:
+        packed = lab
+    np.testing.assert_array_equal(unpack_labels(packed, bits), lab)
+
+
+def test_frame_buckets():
+    """Short sequences land in the smallest fitting bucket; too-long
+    sequences fail loudly at start (ADVICE round 1: was a silent truncate
+    surfacing as an opaque shape assert in submit_masks)."""
+    import dataclasses
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg, eval=dataclasses.replace(cfg.eval, max_frames=32,
+                                      frame_buckets=(8, 16, 32)))
+    model = MANet(cfg.model, matching_backend="jnp")
+    ev = Evaluator(cfg, model, variables=None)
+    assert ev.frame_bucket(3) == 8
+    assert ev.frame_bucket(8) == 8
+    assert ev.frame_bucket(9) == 16
+    assert ev.frame_bucket(32) == 32
+    with pytest.raises(ValueError, match="max_frames"):
+        ev.frame_bucket(33)
+
+
+def test_frame_bucketed_round_matches_full_bucket(eval_setup):
+    """A sequence shorter than max_frames runs in a smaller bucket and
+    produces the same masks as the max_frames bucket (padding frames are
+    inert)."""
+    import dataclasses
+    cfg, ds, model, variables = eval_setup
+    seq = ds.sequences()[0]
+    images = ds.images(seq)[:3]
+    gt_hw = ds.gt_masks(seq).shape[1:]
+    scr = ds.initial_scribbles(seq, 0).to_json()
+    scr = {"sequence": scr["sequence"],
+           "scribbles": scr["scribbles"][:3]}
+
+    small = dataclasses.replace(
+        cfg, eval=dataclasses.replace(cfg.eval, frame_buckets=(3,)))
+    big = dataclasses.replace(
+        cfg, eval=dataclasses.replace(cfg.eval,
+                                      frame_buckets=(cfg.eval.max_frames,)))
+    ev_s = Evaluator(small, model, variables)
+    ev_b = Evaluator(big, model, variables)
+    st_s = ev_s.start_sequence(images)
+    st_b = ev_b.start_sequence(images)
+    assert st_s.feat.shape[0] == 3
+    assert st_b.feat.shape[0] == cfg.eval.max_frames
+    m_s = ev_s.run_round(st_s, scr, gt_hw, ds.num_objects(seq))
+    m_b = ev_b.run_round(st_b, scr, gt_hw, ds.num_objects(seq))
+    np.testing.assert_array_equal(m_s, m_b)
 
 
 @pytest.fixture(scope="module")

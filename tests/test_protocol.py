@@ -85,6 +85,52 @@ def test_robot_scribbles_inside_error_region():
     assert err[ys, xs].all()
 
 
+def test_robot_spine_paths():
+    """Scribbles follow region SPINES (davisinteractive skeleton+longest-
+    path semantics, native/robot.cpp): an elongated rectangle yields a
+    midline path, an L-shaped region a path that bends through the corner.
+    Only the native kernel guarantees this; the no-compiler fallback is a
+    geodesic-diameter approximation."""
+    import pytest
+    from cvpr2020_manet_tpu import native
+    if native.lib() is None:
+        pytest.skip("native robot kernel unavailable (no compiler)")
+    robot = InteractiveScribblesRobot()
+
+    rect = np.zeros((100, 200), np.uint8)
+    rect[40:54, 20:180] = 1            # 14 px tall, midline y = 46
+    path = robot._spine_path_native(rect)
+    assert len(path) >= 50
+    ys = np.array([y for y, _ in path])
+    assert np.abs(ys - 46).max() <= 2  # hugs the spine, not the corners
+
+    ell = np.zeros((100, 100), np.uint8)
+    ell[20:80, 20:32] = 1              # vertical arm
+    ell[68:80, 20:80] = 1              # horizontal arm
+    path = robot._spine_path_native(ell)
+    ys = np.array([y for y, _ in path])
+    xs = np.array([x for _, x in path])
+    # path traverses BOTH arms (bends through the corner)
+    assert ys.min() < 35 and xs.max() > 60
+    # and stays inside the region
+    assert ell[ys, xs].all()
+
+
+def test_robot_compact_region_still_scribbled():
+    """A compact (square) region thins to a degenerate skeleton; the robot
+    must still produce a usable scribble via the region-diameter fallback."""
+    robot = InteractiveScribblesRobot()
+    sq = np.zeros((60, 60), np.uint8)
+    sq[15:45, 15:45] = 1
+    path = robot._spine_path_native(sq)
+    if path is None:   # no native lib: fallback covers it
+        path = robot._spine_path_fallback(sq)
+    assert len(path) >= robot.params.min_path_nodes
+    ys = np.array([y for y, _ in path])
+    xs = np.array([x for _, x in path])
+    assert sq[ys, xs].all()
+
+
 def test_robot_excludes_annotated_frames():
     h, w, t = 32, 32, 3
     gt = np.zeros((t, h, w), np.int32)
