@@ -72,7 +72,6 @@ class TrainConfig:
     seed: int = 0
     # Stage-2 (interaction + memory aggregation) round simulation
     stage2_rounds: int = 3
-    stage2_prop_frames: int = 2      # frames propagated per simulated round
     log_every: int = 50
     checkpoint_every: int = 2000
 
@@ -86,7 +85,11 @@ class EvalConfig:
     pad_to: int = 16
     max_interactions: int = 8
     scribble_sets: int = 3
-    max_time_per_interaction: float = 30.0
+    # Per-(sequence x scribble-set) wall-clock budget in seconds, scaled by
+    # the sequence's object count (davisinteractive `max_time` semantics:
+    # a session item stops when EITHER max_interactions or
+    # max_time * n_objects is reached). None = no time limit.
+    max_time: float | None = None
     metric_at_seconds: float = 60.0            # J&F @ 60 s report point
     max_frames: int = 104                      # largest frame bucket (longest DAVIS val seq ~100)
     # Padded frame-axis buckets: a sequence compiles/runs in the smallest

@@ -74,7 +74,9 @@ class DavisEvalDataset:
         return np.stack([load_indexed_png(f) for f in files])
 
     def num_objects(self, seq: str) -> int:
-        return int(self.gt_masks(seq)[0].max())
+        # max over ALL frames: an object absent from frame 0 (possible in
+        # non-DAVIS adapters reusing this interface) must still be scored
+        return int(self.gt_masks(seq).max())
 
     def num_scribble_sets(self, seq: str) -> int:
         return self.scribble_sets

@@ -41,7 +41,9 @@ def build_evaluator(cfg, checkpoint: str | None = None):
 
 
 def main(argv=None):
-    from cvpr2020_manet_tpu.config import Config, EvalConfig
+    import dataclasses
+
+    from cvpr2020_manet_tpu.config import Config
     from cvpr2020_manet_tpu.data.davis import DavisEvalDataset
     from cvpr2020_manet_tpu.interactive.session import InteractiveSession
 
@@ -50,13 +52,18 @@ def main(argv=None):
     p.add_argument("--subset", default="val")
     p.add_argument("--rounds", type=int, default=8)
     p.add_argument("--scribble_sets", type=int, default=3)
+    p.add_argument("--max_time", type=float, default=None,
+                   help="per-item time budget in s, scaled by object count "
+                        "(davisinteractive max_time semantics)")
     p.add_argument("--checkpoint", default=None,
                    help="orbax release export dir (utils/checkpoint.py)")
     p.add_argument("--report", default=None, help="CSV path for the report")
     p.add_argument("--save_masks", default=None,
                    help="dir for final-round masks as DAVIS indexed PNGs")
-    p.add_argument("--max_frames", type=int, default=104)
-    p.add_argument("--image_size", type=int, nargs=2, default=(480, 854))
+    # default None -> inherit from the base config (so --tiny stays
+    # self-consistent: its eval shapes come from tiny_test_config)
+    p.add_argument("--max_frames", type=int, default=None)
+    p.add_argument("--image_size", type=int, nargs=2, default=None)
     p.add_argument("--tiny", action="store_true",
                    help="tiny model config (smoke tests)")
     args = p.parse_args(argv)
@@ -66,18 +73,21 @@ def main(argv=None):
         base = tiny_test_config()
     else:
         base = Config()
-    cfg = Config(
-        model=base.model,
-        train=base.train,
-        eval=EvalConfig(max_interactions=args.rounds,
-                        scribble_sets=args.scribble_sets,
-                        max_frames=args.max_frames,
-                        image_size=tuple(args.image_size)),
+    overrides = dict(max_interactions=args.rounds,
+                     scribble_sets=args.scribble_sets,
+                     max_time=args.max_time)
+    if args.max_frames is not None:
+        overrides["max_frames"] = args.max_frames
+    if args.image_size is not None:
+        overrides["image_size"] = tuple(args.image_size)
+    cfg = dataclasses.replace(
+        base, eval=dataclasses.replace(base.eval, **overrides),
         davis_root=args.davis_root)
     ds = DavisEvalDataset(args.davis_root, subset=args.subset,
                           scribble_sets=args.scribble_sets)
     evaluator = build_evaluator(cfg, args.checkpoint)
-    session = InteractiveSession(ds, max_interactions=args.rounds)
+    session = InteractiveSession(ds, max_interactions=args.rounds,
+                                 max_time=args.max_time)
 
     on_masks = None
     if args.save_masks:

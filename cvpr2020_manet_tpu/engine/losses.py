@@ -37,7 +37,11 @@ def bootstrapped_cross_entropy(
     ce = pixel_cross_entropy(logits, labels, valid).reshape(-1)
     n = ce.shape[0]
     ratio = jnp.asarray(ratio, jnp.float32)
-    k = jnp.clip((ratio * n).astype(jnp.int32), 1, n)
+    # size the cut from the VALID pixel count: invalid pixels contribute
+    # zero loss and must not dilute the kept fraction
+    n_valid = (jnp.sum(valid).astype(jnp.float32) if valid is not None
+               else jnp.float32(n))
+    k = jnp.clip((ratio * n_valid).astype(jnp.int32), 1, n)
     ce_sorted = jnp.sort(ce)[::-1]          # descending: hardest first
     idx = jnp.arange(n)
     kept = jnp.where(idx < k, ce_sorted, 0.0)

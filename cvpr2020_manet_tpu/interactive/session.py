@@ -36,11 +36,17 @@ REPORT_COLUMNS = [
 
 class InteractiveSession:
     def __init__(self, dataset, *, max_interactions: int = 8,
+                 max_time: Optional[float] = None,
                  metric_to_optimize: str = "J_AND_F",
                  robot: Optional[InteractiveScribblesRobot] = None,
                  time_fn=time.perf_counter):
         self.dataset = dataset
         self.max_interactions = max_interactions
+        # davisinteractive semantics: per-(sequence x scribble-set) time
+        # budget in seconds, scaled by the sequence's object count; the
+        # item stops when EITHER budget is exhausted. Timing includes the
+        # scribble-robot time (it is part of the service wall clock).
+        self.max_time = max_time
         self.metric = metric_to_optimize
         self.robot = robot or InteractiveScribblesRobot()
         self._time = time_fn
@@ -121,9 +127,18 @@ class InteractiveSession:
 
         self._interaction += 1
         self._awaiting_submit = False
+        if (self.max_time is not None
+                and self._elapsed >= self.max_time * max(n_obj, 1)):
+            # time budget for this item exhausted (davisinteractive stops
+            # on max_time OR max_nb_interactions, whichever first)
+            self._interaction = self.max_interactions
         if self._interaction < self.max_interactions:
+            t_robot = self._time()
             new = self.robot.interact(
                 seq, masks, gt, n_obj, annotated=self._annotated)
+            # robot time is service time: it lands in the NEXT round's
+            # cumulative timestamp, as in the upstream local service
+            self._elapsed += self._time() - t_robot
             if not annotated_frames(new):
                 # prediction is (near-)perfect: the robot has nothing to
                 # correct — end this item early

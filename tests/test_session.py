@@ -58,6 +58,56 @@ def test_session_full_protocol_and_report():
     assert summary["metric_at_threshold"] == 1.0
 
 
+def test_session_max_time_stops_item():
+    """davisinteractive semantics: an item ends when cumulative service
+    time exceeds max_time * n_objects, even with interactions left."""
+    ds = SyntheticDataset(num_sequences=1, scribble_sets=1, num_frames=3)
+    n_obj = ds.num_objects(ds.sequences()[0])
+    # fake clock ticks 1 s per call; each round costs >= 1 s of model time
+    session = InteractiveSession(ds, max_interactions=8,
+                                 max_time=2.0 / max(n_obj, 1),
+                                 time_fn=_fake_clock())
+    rounds = 0
+    with session as sess:
+        while sess.next():
+            seq, _, _ = sess.get_scribbles()
+            sess.submit_masks(np.zeros_like(ds.gt_masks(seq)))
+            rounds += 1
+    assert rounds < 8
+    report = session.get_report()
+    assert report.interaction.max() == rounds - 1
+
+
+def test_session_timing_includes_robot_time():
+    """The scribble robot runs inside the service; its wall-clock lands in
+    the NEXT round's cumulative timestamp (davisinteractive semantics)."""
+    ds = SyntheticDataset(num_sequences=1, scribble_sets=1, num_frames=3)
+
+    class SlowRobot:
+        def __init__(self, inner, clock):
+            self.inner, self.clock = inner, clock
+
+        def interact(self, *a, **kw):
+            for _ in range(5):      # 5 fake seconds of robot time
+                self.clock()
+            return self.inner.interact(*a, **kw)
+
+    clock = _fake_clock()
+    from cvpr2020_manet_tpu.interactive.robot import InteractiveScribblesRobot
+    session = InteractiveSession(
+        ds, max_interactions=2, time_fn=clock,
+        robot=SlowRobot(InteractiveScribblesRobot(), clock))
+    with session as sess:
+        while sess.next():
+            seq, _, _ = sess.get_scribbles()
+            sess.submit_masks(np.zeros_like(ds.gt_masks(seq)))
+    report = session.get_report()
+    t0 = report[report.interaction == 0].timing.max()
+    t1 = report[report.interaction == 1].timing.max()
+    # round 1's timestamp carries round 0's model time + 5 s robot + its own
+    assert t1 - t0 >= 5.0
+
+
 def test_session_enforces_ordering():
     ds = SyntheticDataset(num_sequences=1, scribble_sets=1, num_frames=2)
     session = InteractiveSession(ds, max_interactions=2)
