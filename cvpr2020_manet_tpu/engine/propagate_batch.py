@@ -105,3 +105,133 @@ class BatchPropagator:
         return np.asarray(self._run(
             jnp.asarray(frames_u8), jnp.asarray(first_masks),
             jnp.asarray(obj_valid)))
+
+
+# --------------------------------------------------------------------- #
+# Throughput CLI (BASELINE config 4: YouTube-VOS-scale batched
+# propagation). Feeds fixed (B, T, H, W) buckets from a dataset adapter —
+# YTVOS / DAVIS trees or the synthetic fixture — through BatchPropagator
+# and reports frames/s as one JSON metric line.
+#
+#   python -m cvpr2020_manet_tpu.engine.propagate_batch \
+#       --dataset ytvos --data_root /data/ytvos --batch 4 --frames 16
+# --------------------------------------------------------------------- #
+
+def _load_batches(ds, batch: int, frames: int, image_hw, stride: int):
+    """Yield (frames_u8 (B,T,H,W,3), first_masks (B,h,w), num_objects (B,))
+    from an eval-style adapter, padding short sequences by repeating the
+    last frame and slicing long ones."""
+    from cvpr2020_manet_tpu.data.davis import IMAGENET_MEAN, IMAGENET_STD
+    h_img, w_img = image_hw
+    names = ds.sequences()
+    for i in range(0, len(names) - len(names) % batch, batch):
+        fr, fm, no = [], [], []
+        for seq in names[i:i + batch]:
+            imgs = ds.images(seq)      # normalized float (T, H, W, 3)
+            gt = ds.gt_masks(seq)
+            u8 = np.clip((imgs * IMAGENET_STD + IMAGENET_MEAN) * 255.0,
+                         0, 255).astype(np.uint8)
+            t = u8.shape[0]
+            if t < frames:
+                pad = np.repeat(u8[-1:], frames - t, axis=0)
+                u8 = np.concatenate([u8, pad], axis=0)
+            u8 = u8[:frames, :h_img, :w_img]
+            if u8.shape[1:3] != (h_img, w_img):
+                py, px = h_img - u8.shape[1], w_img - u8.shape[2]
+                u8 = np.pad(u8, ((0, 0), (0, py), (0, px), (0, 0)))
+                gt = np.pad(gt, ((0, 0), (0, py), (0, px)))
+            fr.append(u8)
+            fm.append(gt[0, :h_img:stride, :w_img:stride])
+            no.append(ds.num_objects(seq))
+        yield (np.stack(fr), np.stack(fm).astype(np.int32),
+               np.asarray(no, np.int32))
+
+
+def main(argv=None):
+    import argparse
+    import json
+    import time
+
+    import jax
+
+    from cvpr2020_manet_tpu.config import Config, tiny_test_config
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", choices=["synthetic", "davis", "ytvos"],
+                   default="synthetic")
+    p.add_argument("--data_root", default=None)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--frames", type=int, default=16)
+    p.add_argument("--image_size", type=int, nargs=2, default=None)
+    p.add_argument("--checkpoint", default=None,
+                   help="orbax release export dir")
+    p.add_argument("--timed_batches", type=int, default=4)
+    p.add_argument("--tiny", action="store_true")
+    args = p.parse_args(argv)
+
+    cfg = tiny_test_config() if args.tiny else Config()
+    image_hw = tuple(args.image_size) if args.image_size \
+        else cfg.eval.image_size
+    h_img = image_hw[0] + (-image_hw[0]) % cfg.eval.pad_to
+    w_img = image_hw[1] + (-image_hw[1]) % cfg.eval.pad_to
+    s = cfg.model.feature_stride
+
+    if args.dataset == "synthetic":
+        from cvpr2020_manet_tpu.data import SyntheticDataset
+        ds = SyntheticDataset(
+            image_size=(h_img, w_img), num_frames=args.frames,
+            num_sequences=args.batch * (args.timed_batches + 1),
+            num_objects=2, scribble_sets=1)
+    elif args.dataset == "davis":
+        from cvpr2020_manet_tpu.data.davis import DavisEvalDataset
+        ds = DavisEvalDataset(args.data_root)
+    else:
+        from cvpr2020_manet_tpu.data.ytvos import YTVOSDataset
+        ds = YTVOSDataset(args.data_root)
+
+    from cvpr2020_manet_tpu.models import MANet
+    model = MANet(cfg.model, matching_backend="auto")
+    o = cfg.model.max_objects + 1
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, h_img, w_img, 3)),
+        jnp.zeros((1, h_img // s, w_img // s, o)),
+        jnp.zeros((1, h_img // s, w_img // s, o)))
+    if args.checkpoint:
+        from cvpr2020_manet_tpu.utils.checkpoint import load_release
+        params = load_release(variables["params"], args.checkpoint)
+        variables = {**variables, "params": params}
+    prop = BatchPropagator(cfg, model, variables)
+
+    batches = _load_batches(ds, args.batch, args.frames, (h_img, w_img), s)
+    first = next(batches)
+    out = prop.propagate(*first)          # compile + warm-up
+    out.sum()
+
+    times, done = [], 0
+    t0 = time.perf_counter()
+    for fr, fm, no in batches:
+        out = prop.propagate(fr, fm, no)
+        out.sum()                          # host sync
+        done += 1
+        times.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        if done >= args.timed_batches:
+            break
+    if not times:                          # dataset had only one batch
+        t0 = time.perf_counter()
+        out = prop.propagate(*first)
+        out.sum()
+        times, done = [time.perf_counter() - t0], 1
+    frames_total = args.batch * args.frames
+    fps = frames_total / float(np.median(times))
+    print(json.dumps({
+        "metric": "batched_propagation_fps",
+        "value": round(fps, 2), "unit": "frames/s",
+        "batch": args.batch, "frames": args.frames,
+        "image_size": [h_img, w_img], "timed_batches": done,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    main()

@@ -189,7 +189,10 @@ class Trainer:
                         if cfg.train.batch_size % d == 0)
             mesh = create_mesh(data=data, context=1)
         self.mesh = mesh
-        self.model = MANet(cfg.model, matching_backend="jnp")
+        # "auto": jnp oracle on CPU, the custom-VJP Pallas kernels on TPU —
+        # training exercises the same kernels the eval path ships
+        self.model = MANet(cfg.model, matching_backend="auto",
+                           trainable_matching=True)
         h, w = cfg.train.crop_size
         o = cfg.model.max_objects + 1
         rng = jax.random.PRNGKey(cfg.train.seed if seed is None else seed)

@@ -13,10 +13,11 @@ TPU-native deltas from the reference:
   `lax.scan` carrying (predictions, interaction memory); no host
   round-trips mid-sample.
 - scribble synthesis is device-side: the worst frame is picked by soft
-  IoU, and "scribbles" are K random pixels of each object's error region
-  (top-k over noise-masked error) — the jittable stand-in for the robot's
-  skeleton polylines. The eval-time robot (interactive/robot.py) stays
-  host-side and polyline-based.
+  IoU, and "scribbles" are line strokes through the densest error blobs
+  of each object (including background-correction strokes over false
+  positives) — the jittable stand-in for the robot's skeleton polylines.
+  The eval-time robot (interactive/robot.py) stays host-side and
+  polyline-based.
 
 Run: python -m cvpr2020_manet_tpu.engine.train_stage2 --tiny --steps 5
 """
@@ -40,7 +41,7 @@ from cvpr2020_manet_tpu.models.manet import MANet
 from cvpr2020_manet_tpu.parallel.mesh import (
     batch_sharding, create_mesh, replicated_sharding)
 
-SCRIBBLE_PIXELS = 64     # device-side scribble budget per object per round
+STROKES_PER_OBJECT = 2   # line strokes synthesized per object per round
 
 
 def _soft_iou_per_frame(probs, gt_onehot, obj_valid):
@@ -53,7 +54,17 @@ def _soft_iou_per_frame(probs, gt_onehot, obj_valid):
 
 
 def _synthesize_scribbles(key, gt_oh, pred_labels, obj_valid):
-    """Device-side robot stand-in: K random pixels per object's error region.
+    """Device-side robot stand-in: spatially coherent line strokes through
+    each object's error region — the jittable analogue of the eval robot's
+    skeleton polylines (interactive/robot.py).
+
+    Per object channel (channel 0 = background, i.e. negative/correction
+    strokes over other objects' false positives — the `gt==0 & pred!=0`
+    form the eval robot produces): find the densest false-negative blob
+    (box-filtered error), draw a short line segment through it at a random
+    angle, keep only pixels inside the error region. Repeated
+    STROKES_PER_OBJECT times with the previous strokes' neighborhood
+    suppressed, so multiple error blobs get covered.
 
     gt_oh (h, w, O) one-hot GT of the annotated frame; pred_labels (h, w).
     Returns (pos (h, w, O), neg (h, w, O)).
@@ -61,11 +72,48 @@ def _synthesize_scribbles(key, gt_oh, pred_labels, obj_valid):
     h, w, o = gt_oh.shape
     pred_oh = jax.nn.one_hot(pred_labels, o, dtype=jnp.float32)
     err = gt_oh * (1.0 - pred_oh)                  # false negatives per object
-    noise = jax.random.uniform(key, (h, w, o), minval=0.1, maxval=1.0)
-    score = (noise * err).reshape(-1, o)
-    kth = -jnp.sort(-score, axis=0)[SCRIBBLE_PIXELS - 1]      # (O,)
-    pos = (score >= jnp.maximum(kth, 1e-9)[None, :]) & (score > 0)
-    pos = pos.reshape(h, w, o).astype(jnp.float32) * obj_valid[None, None, :]
+    half_len = jnp.float32(max(h, w) / 3.0)
+
+    yy = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(w, dtype=jnp.float32)[None, :]
+
+    def one_stroke(e, density, kk):
+        """e (h, w) error mask; density (h, w) box-filtered error."""
+        k_seed, k_ang = jax.random.split(kk)
+        # jitter breaks ties between equally dense blobs across rounds
+        jit = jax.random.uniform(k_seed, density.shape, maxval=0.01)
+        seed = jnp.argmax((density + jit) * (e > 0))
+        sy = (seed // w).astype(jnp.float32)
+        sx = (seed % w).astype(jnp.float32)
+        theta = jax.random.uniform(k_ang, maxval=jnp.pi)
+        dy, dx = yy - sy, xx - sx
+        along = dy * jnp.sin(theta) + dx * jnp.cos(theta)
+        perp = dy * jnp.cos(theta) - dx * jnp.sin(theta)
+        line = (jnp.abs(perp) <= 0.75) & (jnp.abs(along) <= half_len)
+        return line.astype(jnp.float32) * e
+
+    def strokes_for_object(e, kk):
+        density = jax.lax.reduce_window(
+            e, 0.0, jax.lax.add, (5, 5), (1, 1), "SAME")
+
+        def body(carry, k_i):
+            acc, dens = carry
+            s = one_stroke(e, dens, k_i)
+            # suppress the covered blob so the next stroke lands elsewhere
+            cover = jax.lax.reduce_window(
+                s, 0.0, jax.lax.add, (7, 7), (1, 1), "SAME")
+            return (jnp.maximum(acc, s),
+                    jnp.where(cover > 0, 0.0, dens)), None
+
+        (acc, _), _ = jax.lax.scan(
+            body, (jnp.zeros_like(e), density),
+            jax.random.split(kk, STROKES_PER_OBJECT))
+        return acc
+
+    keys = jax.random.split(key, o)
+    pos = jax.vmap(strokes_for_object, in_axes=(-1, 0), out_axes=-1)(
+        err, keys)
+    pos = pos * obj_valid[None, None, :]
     scribbled = jnp.max(pos, axis=-1, keepdims=True)
     neg = (scribbled - pos) * obj_valid[None, None, :]
     return pos, neg
@@ -184,7 +232,9 @@ class Stage2Trainer:
                         if cfg.train.batch_size % d == 0)
             mesh = create_mesh(data=data, context=1)
         self.mesh = mesh
-        self.model = MANet(cfg.model, matching_backend="jnp")
+        # "auto": jnp oracle on CPU, the custom-VJP Pallas kernels on TPU
+        self.model = MANet(cfg.model, matching_backend="auto",
+                           trainable_matching=True)
         h, w = cfg.train.crop_size
         o = cfg.model.max_objects + 1
         rng = jax.random.PRNGKey(cfg.train.seed if seed is None else seed)

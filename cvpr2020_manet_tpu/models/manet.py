@@ -48,9 +48,9 @@ class MANet(nn.Module):
     cfg: ModelConfig
     matching_backend: str = "auto"   # "auto" | "jnp" | "pallas"
     # Training through the matching on the pallas backend: use the
-    # custom-VJP argmin-routed kernel for global matching (ops/
-    # matching_pallas.global_matching_trainable) and the differentiable
-    # jnp path for local matching. Eval keeps the leaner plain kernels.
+    # custom-VJP argmin-routed kernels (ops/matching_pallas.
+    # global_matching_trainable, ops/local_matching_pallas.
+    # local_matching_trainable). Eval keeps the leaner plain kernels.
     trainable_matching: bool = False
     # Fused Pallas propagation head (ops/fused_head_pallas.py): streams
     # the whole conv stack through VMEM row strips (the XLA head is
@@ -239,7 +239,12 @@ class MANet(nn.Module):
         return M.global_matching(query, ref_emb, ref_onehot, ref_valid)
 
     def _local_matching(self, query, prev, prev_onehot):
-        if self._backend() == "pallas" and not self.trainable_matching:
+        if self._backend() == "pallas":
+            if self.trainable_matching:
+                from cvpr2020_manet_tpu.ops.local_matching_pallas import (
+                    local_matching_trainable)
+                return local_matching_trainable(query, prev, prev_onehot,
+                                                self.cfg.local_window)
             from cvpr2020_manet_tpu.ops.local_matching_pallas import (
                 local_matching_pallas)
             return local_matching_pallas(query, prev, prev_onehot,

@@ -48,3 +48,17 @@ def test_batch_propagation_shapes_and_seed_frame():
     seed_up = np.repeat(np.repeat(first, 4, axis=1), 4, axis=2)
     agree = (out[:, 0] == seed_up).mean()
     assert agree > 0.95
+
+
+def test_propagate_cli_prints_metric(capsys):
+    """Throughput CLI (BASELINE config 4) emits one JSON metric line."""
+    import json
+
+    from cvpr2020_manet_tpu.engine.propagate_batch import main
+    main(["--tiny", "--dataset", "synthetic", "--batch", "2",
+          "--frames", "4", "--timed_batches", "1"])
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["metric"] == "batched_propagation_fps"
+    assert rec["value"] > 0
+    assert rec["batch"] == 2 and rec["frames"] == 4

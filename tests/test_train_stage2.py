@@ -39,6 +39,68 @@ def test_synthesized_scribbles_inside_error_region(rng):
     assert not ((pos > 0) & (np.asarray(neg) > 0)).any()
 
 
+def test_synthesized_scribbles_are_line_like_and_cover_blobs():
+    """Eval-robot resemblance (SURVEY.md C16): strokes are spatially
+    coherent lines (elongated, connected), not scatter, and multiple error
+    blobs each get covered."""
+    h, w, o = 32, 32, 2
+    gt = np.zeros((h, w), np.int64)
+    gt[4:14, 4:14] = 1                 # blob A
+    gt[20:30, 20:30] = 1               # blob B
+    gt_oh = jax.nn.one_hot(jnp.array(gt), o)
+    pred = jnp.zeros((h, w), jnp.int32)
+    obj_valid = jnp.array([1.0, 1.0])
+    pos, _ = _synthesize_scribbles(
+        jax.random.PRNGKey(3), gt_oh, pred, obj_valid)
+    stroke = np.asarray(pos[..., 1]) > 0
+    ys, xs = np.nonzero(stroke)
+    assert len(ys) >= 8                # a real stroke, not a couple pixels
+    # elongation: the point cloud's principal axis dominates (line-like).
+    # two separated parallel strokes are still line-like jointly only if
+    # each is; check per-blob.
+    for sl in (np.s_[:16, :16], np.s_[16:, 16:]):
+        by, bx = np.nonzero(stroke[sl])
+        assert len(by) >= 4, "each error blob gets a stroke"
+        pts = np.stack([by, bx], 1).astype(np.float64)
+        cov = np.cov((pts - pts.mean(0)).T)
+        evals = np.sort(np.linalg.eigvalsh(cov))
+        assert evals[1] > 6 * max(evals[0], 1e-9), "stroke is elongated"
+    # connectivity: pixels of each blob's stroke form one 8-connected chain
+    for sl in (np.s_[:16, :16], np.s_[16:, 16:]):
+        sub = stroke[sl]
+        by, bx = np.nonzero(sub)
+        seen = {(by[0], bx[0])}
+        frontier = [(by[0], bx[0])]
+        pix = set(zip(by.tolist(), bx.tolist()))
+        while frontier:
+            y, x = frontier.pop()
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    p = (y + dy, x + dx)
+                    if p in pix and p not in seen:
+                        seen.add(p)
+                        frontier.append(p)
+        assert len(seen) == len(pix), "stroke is connected"
+
+
+def test_synthesized_background_correction_strokes():
+    """False positives (pred says object, gt says background) produce
+    background strokes — channel 0 — which become the object's negatives."""
+    h, w, o = 16, 16, 2
+    gt = np.zeros((h, w), np.int64)                 # all background
+    gt_oh = jax.nn.one_hot(jnp.array(gt), o)
+    pred = jnp.zeros((h, w), jnp.int32).at[4:12, 4:12].set(1)  # FP blob
+    obj_valid = jnp.array([1.0, 1.0])
+    pos, neg = _synthesize_scribbles(
+        jax.random.PRNGKey(0), gt_oh, pred, obj_valid)
+    bg = np.asarray(pos[..., 0])
+    ys, xs = np.nonzero(bg)
+    assert len(ys) > 0, "background-correction stroke exists"
+    assert (np.asarray(pred)[ys, xs] == 1).all(), "stroke lies on the FP"
+    # the background stroke is object 1's negative scribble
+    assert (np.asarray(neg[..., 1])[ys, xs] == 1).all()
+
+
 def test_stage2_step_runs_and_learns():
     cfg = tiny_test_config()
     trainer = Stage2Trainer(cfg)
