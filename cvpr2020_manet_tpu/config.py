@@ -109,6 +109,13 @@ class EvalConfig:
     # inside the model's own low-confidence boundary band (pinned by
     # tests) — opt-in for latency-sensitive serving.
     mask_stride: int = 1
+    # Interactive-round pipelining: the propagation sweep is split into
+    # this many dispatches so each segment's packed-mask download overlaps
+    # the next segment's compute (device->host rides a slow link; measured
+    # ~92 ms/round hidden on the sandbox tunnel). 1 = monolithic round
+    # (one dispatch). Segmented and monolithic rounds compute identical
+    # masks (pinned by tests).
+    round_segments: int = 3
 
 
 @dataclasses.dataclass(frozen=True)

@@ -25,9 +25,15 @@ class SyntheticDataset:
     """
 
     def __init__(self, image_size=(32, 48), num_frames=4, num_sequences=2,
-                 num_objects=2, scribble_sets=2, seed=0):
+                 num_objects=2, scribble_sets=2, seed=0, entry_frames=None):
+        """entry_frames: optional per-object first-visible frame index —
+        objects entering mid-sequence can't be segmented from an earlier
+        annotated frame, so multi-round correction (and the cross-round
+        matching/MA memory retaining it) becomes structurally necessary.
+        Late-appearing objects also exist in YouTube-VOS (SURVEY.md C12)."""
         self.image_size = image_size
         self.num_frames = num_frames
+        self.entry_frames = entry_frames or [0] * num_objects
         self._names = [f"synth_{i:02d}" for i in range(num_sequences)]
         self._num_objects = num_objects
         self.scribble_sets = scribble_sets
@@ -53,6 +59,8 @@ class SyntheticDataset:
         for f in range(t):
             img = bg.copy()
             for o in range(n_obj):
+                if f < self.entry_frames[o]:
+                    continue
                 y = int(starts[o][0] + vels[o][0] * f)
                 x = int(starts[o][1] + vels[o][1] * f)
                 img[y:y + size, x:x + size] = tex[o]

@@ -89,12 +89,19 @@ class SequenceState:
 class Evaluator:
     """Runs a model against an `InteractiveSession`."""
 
-    def __init__(self, cfg: Config, model: MANet, variables):
+    def __init__(self, cfg: Config, model: MANet, variables,
+                 ablate_memory: bool = False):
         self.cfg = cfg
         self.model = model
         self.variables = variables
         self.o = cfg.model.max_objects + 1
         self.stride = cfg.model.feature_stride
+        # Ablation switch (tests/quality studies): disable MANet's
+        # cross-round memories — global-map min-fusion (C8) and the MA
+        # gate (C7) — so every round conditions only on its own scribbles
+        # (+ the previous round's masks, which any interactive method
+        # carries). Quantifies the memory-aggregation contribution.
+        self.ablate_memory = ablate_memory
         backend = model.matching_backend
         if backend == "auto":
             backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
@@ -110,6 +117,15 @@ class Evaluator:
         # round (each dispatch pays a full RTT through the TPU tunnel)
         self._round = jax.jit(self._round_impl, static_argnames=("mask_hw",))
         self._masks = jax.jit(self._masks_impl, static_argnames=("hw",))
+        # segmented round (cfg.eval.round_segments > 1): interaction
+        # dispatch + S sweep dispatches; each segment's packed-mask
+        # download overlaps the next segment's compute on the device
+        self._start = jax.jit(self._start_impl, static_argnames=("mask_hw",))
+        self._sweep = jax.jit(self._sweep_impl,
+                              static_argnames=("start", "count", "mask_hw"))
+        import concurrent.futures
+        self._fetch_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=4, thread_name_prefix="mask-fetch")
         self.round_latencies: list[float] = []
 
     # ---------------- jitted graphs ----------------------------------- #
@@ -118,13 +134,14 @@ class Evaluator:
         return self.model.apply(self.variables, images,
                                 method=self.model.extract_features)
 
-    def _round_impl(self, feat, emb, raster, annot_idx,
-                    prev_masks, gmap_mem, int_mem, is_first, obj_valid,
-                    frame_valid, round_idx=None, mem_emb=None,
-                    mem_onehot=None, *, mask_hw=None):
+    def _interaction(self, feat, emb, raster, annot_idx, prev_masks,
+                     gmap_mem, int_mem, is_first, obj_valid):
+        """Shared round head: device-side scribble pooling, interaction
+        branch, MA update, matching-reference labels. Returns
+        (int_probs, int_mem, gmap_mem, ref_emb, ref_onehot)."""
         model, variables = self.model, self.variables
-        t, h, w, _ = feat.shape
-        o = prev_masks.shape[-1]     # object bucket of this sequence
+        h, w = feat.shape[1:3]
+        o = prev_masks.shape[-1]
         neg_inf = -1e9
 
         # scribble raster (H_pad, W_pad) int8, -1 = unscribbled — one-hot
@@ -145,6 +162,9 @@ class Evaluator:
         prev_a = prev_masks[annot_idx]
         int_feats, int_logits = model.apply(
             variables, f_a, pos_scr, neg_scr, prev_a, method=model.interact)
+        if self.ablate_memory:
+            is_first = jnp.asarray(True)     # re-seed: no MA fusion (C7)
+            gmap_mem = jnp.ones_like(gmap_mem)   # no min-fusion (C8)
         int_mem = model.apply(variables, int_feats, int_mem, is_first,
                               method=model.aggregate_memory)
         int_logits = int_logits + (1.0 - obj_valid)[None, None, :] * neg_inf
@@ -159,6 +179,19 @@ class Evaluator:
         ref_onehot = jax.nn.one_hot(lab.reshape(-1), o, dtype=jnp.float32)
         ref_onehot = ref_onehot * obj_valid[None, :]
         ref_emb = emb[annot_idx].reshape(-1, emb.shape[-1])
+        return int_probs, int_mem, gmap_mem, ref_emb, ref_onehot
+
+    def _round_impl(self, feat, emb, raster, annot_idx,
+                    prev_masks, gmap_mem, int_mem, is_first, obj_valid,
+                    frame_valid, round_idx=None, mem_emb=None,
+                    mem_onehot=None, *, mask_hw=None):
+        model, variables = self.model, self.variables
+        t, h, w, _ = feat.shape
+        o = prev_masks.shape[-1]     # object bucket of this sequence
+
+        int_probs, int_mem, gmap_mem, ref_emb, ref_onehot = \
+            self._interaction(feat, emb, raster, annot_idx, prev_masks,
+                              gmap_mem, int_mem, is_first, obj_valid)
 
         if self.memory_mode == "stacked":
             # append this round's annotated pixels to the round memory and
@@ -238,6 +271,121 @@ class Evaluator:
         if self.memory_mode == "stacked":
             return probs, gmap, int_mem, masks, mem_emb, mem_onehot
         return probs, gmap, int_mem, masks
+
+    # -------- segmented round (download/compute pipelining) ------------ #
+
+    def _start_impl(self, feat, emb, raster, annot_idx, prev_masks,
+                    gmap_mem, int_mem, is_first, obj_valid,
+                    round_idx=None, mem_emb=None, mem_onehot=None,
+                    *, mask_hw):
+        """Round head as its own dispatch: interaction branch + matching
+        reference prep + the annotated frame's packed mask."""
+        int_probs, int_mem, gmap_mem, ref_emb, ref_onehot = \
+            self._interaction(feat, emb, raster, annot_idx, prev_masks,
+                              gmap_mem, int_mem, is_first, obj_valid)
+        o = prev_masks.shape[-1]
+        if self.memory_mode == "stacked":
+            nq = ref_emb.shape[0]
+            off = round_idx * nq
+            mem_emb = jax.lax.dynamic_update_slice(
+                mem_emb, ref_emb.astype(mem_emb.dtype), (off, 0))
+            mem_onehot = jax.lax.dynamic_update_slice(
+                mem_onehot, ref_onehot, (off, 0))
+            ref_emb, ref_onehot = mem_emb, mem_onehot
+        out = {
+            "int_probs": int_probs,
+            "int_mem": int_mem,
+            "gmap_mem": gmap_mem,
+            "ref_emb": ref_emb,
+            "ref_onehot": ref_onehot,
+            "prev_masks": prev_masks.at[annot_idx].set(int_probs),
+            "annot_mask": self._masks_impl(int_probs[None], hw=mask_hw),
+        }
+        if self.use_pallas:
+            from cvpr2020_manet_tpu.ops.matching_pallas import prepare_ref
+            out["bucketed"] = prepare_ref(ref_emb, ref_onehot)
+        if self.memory_mode == "stacked":
+            out["mem_emb"], out["mem_onehot"] = mem_emb, mem_onehot
+        return out
+
+    def _sweep_impl(self, feat, emb, ref_emb, ref_onehot, bucketed,
+                    int_probs, carry, prev_masks, gmap_mem, int_mem,
+                    annot_idx, obj_valid, frame_valid,
+                    *, start, count, mask_hw):
+        """Propagate visit-order steps [start, start+count) of the round's
+        (T-1)-step sweep schedule and pack this segment's masks. The carry
+        chains across segments; the backward-sweep reset (carry back to the
+        interaction output) is per-step, so any segmentation of the
+        schedule computes exactly the monolithic round's masks."""
+        model, variables = self.model, self.variables
+        t, h, w, _ = feat.shape
+        o = prev_masks.shape[-1]
+
+        idx = start + jnp.arange(count)
+        fwd_len = t - 1 - annot_idx
+        frame = jnp.where(idx < fwd_len,
+                          annot_idx + 1 + idx,
+                          annot_idx - 1 - (idx - fwd_len))
+        prev_frame = jnp.where(idx < fwd_len, frame - 1, frame + 1)
+        reset = idx == fwd_len
+        emb_ordered = jnp.take(emb, frame, axis=0)
+        g_taken = jnp.take(gmap_mem, frame, axis=0)
+
+        gm_pre = None
+        if self.use_pallas:
+            from cvpr2020_manet_tpu.ops.matching_pallas import (
+                global_matching_prepared)
+            ce = emb.shape[-1]
+            gm_pre = global_matching_prepared(
+                emb_ordered.reshape(-1, ce), bucketed
+            ).reshape(count, h, w, o)
+
+        def step(c, xs):
+            f_t, e_t, e_prev, g_t, g_pre_t, rs = xs
+            prev = jnp.where(rs, int_probs, c)
+            logits, g_new = model.apply(
+                variables, f_t, e_t, ref_emb, ref_onehot, None,
+                g_t, e_prev, prev, int_mem, obj_valid,
+                method=model.propagate, gmap_override=g_pre_t)
+            probs = jax.nn.softmax(logits, axis=-1)
+            return probs, (probs, g_new)
+
+        xs = (jnp.take(feat, frame, axis=0), emb_ordered,
+              jnp.take(emb, prev_frame, axis=0), g_taken, gm_pre, reset)
+        if gm_pre is None:
+            step_fn = lambda c, x: step(c, (x[0], x[1], x[2], x[3], None,
+                                            x[4]))
+            xs = (xs[0], xs[1], xs[2], xs[3], xs[5])
+            carry, (probs_seq, g_seq) = jax.lax.scan(step_fn, carry, xs)
+        else:
+            carry, (probs_seq, g_seq) = jax.lax.scan(step, carry, xs)
+
+        fv = frame_valid[frame][:, None, None, None]
+        probs_w = jnp.where(fv, probs_seq, jnp.take(prev_masks, frame, 0))
+        g_w = jnp.where(fv, g_seq, g_taken)
+        prev_masks = prev_masks.at[frame].set(probs_w)
+        gmap_mem = gmap_mem.at[frame].set(g_w)
+        masks = self._masks_impl(probs_w, hw=mask_hw)
+        return carry, prev_masks, gmap_mem, masks
+
+    def _segment_spans(self, t: int) -> list[tuple[int, int]]:
+        """Split the (t-1)-step sweep schedule into round_segments spans.
+
+        Spans grow geometrically (~2x): the device->host link is the round
+        bottleneck and the first segment's masks can only start crossing it
+        after that segment computes — a small first segment gets bytes
+        flowing early, and later (larger) segments compute under the
+        earlier segments' transfers."""
+        n = t - 1
+        s = max(1, min(self.cfg.eval.round_segments, n))
+        x = max(1, round(n / (2 ** s - 1)))
+        spans, pos = [], 0
+        for i in range(s):
+            c = x * (2 ** i) if i < s - 1 else n - pos
+            c = max(1, min(c, n - pos - (s - 1 - i)))  # leave >=1 per rest
+            spans.append((pos, c))
+            pos += c
+        return spans
 
     def _masks_impl(self, probs, *, hw):
         """(T, h, w, O) -> (T, H, W // ppb) BIT-PACKED argmax labels.
@@ -364,32 +512,90 @@ class Evaluator:
         ms = cfg.eval.mask_stride
         h_pad = (h_img + ((-h_img) % cfg.eval.pad_to)) // ms
         w_pad = (w_img + ((-w_img) % cfg.eval.pad_to)) // ms
+        stacked = self.memory_mode == "stacked"
+        kw = {}
+        if stacked:
+            # clamp: past max_interactions, overwrite the last slot
+            r = min(state.round_idx, self.cfg.eval.max_interactions - 1)
+            kw = dict(round_idx=jnp.asarray(r, jnp.int32),
+                      mem_emb=state.mem_emb, mem_onehot=state.mem_onehot)
         args = (state.feat, state.emb, jnp.asarray(raster, jnp.int8),
                 jnp.asarray(annot, jnp.int32), state.prev_masks,
                 state.gmap_mem, state.int_mem,
                 jnp.asarray(state.round_idx == 0),
-                jnp.asarray(obj_valid), jnp.asarray(frame_valid))
-        if self.memory_mode == "stacked":
-            # clamp: past max_interactions, overwrite the last slot
-            r = min(state.round_idx, self.cfg.eval.max_interactions - 1)
-            probs, gmap, int_mem, masks, mem_emb, mem_onehot = self._round(
-                *args, round_idx=jnp.asarray(r, jnp.int32),
-                mem_emb=state.mem_emb, mem_onehot=state.mem_onehot,
-                mask_hw=(h_pad, w_pad))
-            state.mem_emb, state.mem_onehot = mem_emb, mem_onehot
-        else:
-            probs, gmap, int_mem, masks = self._round(
-                *args, mask_hw=(h_pad, w_pad))
-        state.prev_masks, state.gmap_mem, state.int_mem = probs, gmap, int_mem
-        state.round_idx += 1
+                jnp.asarray(obj_valid))
 
-        masks = np.asarray(masks)[:state.num_frames]
-        masks = unpack_labels(masks, self._mask_bits(o_bucket))
+        if cfg.eval.round_segments > 1:
+            masks = self._run_round_segmented(
+                state, args, kw, annot, frame_valid, (h_pad, w_pad))
+        else:
+            full_args = args[:9] + (jnp.asarray(frame_valid),)
+            if stacked:
+                probs, gmap, int_mem, masks, mem_emb, mem_onehot = \
+                    self._round(*full_args, **kw, mask_hw=(h_pad, w_pad))
+                state.mem_emb, state.mem_onehot = mem_emb, mem_onehot
+            else:
+                probs, gmap, int_mem, masks = self._round(
+                    *full_args, mask_hw=(h_pad, w_pad))
+            state.prev_masks, state.gmap_mem = probs, gmap
+            state.int_mem = int_mem
+            masks = np.asarray(masks)[:state.num_frames]
+            masks = unpack_labels(masks, self._mask_bits(o_bucket))
+        state.round_idx += 1
         if ms > 1:
             masks = np.repeat(np.repeat(masks, ms, axis=1), ms, axis=2)
         masks = masks[:, :h_img, :w_img].astype(np.int32)
         self.round_latencies.append(time.perf_counter() - t0)
         return masks
+
+    def _run_round_segmented(self, state: SequenceState, args, kw,
+                             annot: int, frame_valid: np.ndarray,
+                             mask_hw) -> np.ndarray:
+        """Pipelined round: 1 interaction dispatch + S sweep dispatches,
+        all enqueued up front (dispatch is async); the packed-mask
+        downloads then drain in order, each overlapping the later
+        segments' device compute. Bitwise-identical masks to the
+        monolithic round (pinned by tests)."""
+        out = self._start(*args, **kw, mask_hw=mask_hw)
+        if self.memory_mode == "stacked":
+            state.mem_emb, state.mem_onehot = out["mem_emb"], out["mem_onehot"]
+        t_bucket = state.feat.shape[0]
+        o_bucket = state.prev_masks.shape[-1]
+        carry = out["int_probs"]
+        pm, gm, im = out["prev_masks"], out["gmap_mem"], out["int_mem"]
+        fv = jnp.asarray(frame_valid)
+        annot_j = args[3]
+        ov = args[8]
+        seg_masks = []
+        for s0, c in self._segment_spans(t_bucket):
+            carry, pm, gm, mk = self._sweep(
+                state.feat, state.emb, out["ref_emb"], out["ref_onehot"],
+                out.get("bucketed"), out["int_probs"], carry, pm, gm, im,
+                annot_j, ov, fv, start=s0, count=c, mask_hw=mask_hw)
+            seg_masks.append((s0, c, mk))
+        state.prev_masks, state.gmap_mem, state.int_mem = pm, gm, im
+
+        # downloads: issued CONCURRENTLY from a thread pool — the tunnel
+        # multiplexes the fetch RPCs, so each fetch's fixed RTT and the
+        # byte transfers overlap both each other and the later segments'
+        # device compute (device_get releases the GIL)
+        bits = self._mask_bits(o_bucket)
+        fetches = [self._fetch_pool.submit(np.asarray, out["annot_mask"])]
+        fetches += [self._fetch_pool.submit(np.asarray, mk)
+                    for _, _, mk in seg_masks]
+        lab_annot = unpack_labels(fetches[0].result(), bits)[0]
+        nf = state.num_frames
+        labels = np.zeros((nf, *lab_annot.shape), np.uint8)
+        labels[annot] = lab_annot
+        fwd_len = t_bucket - 1 - annot
+        for (s0, c, _), fut in zip(seg_masks, fetches[1:]):
+            lab = unpack_labels(fut.result(), bits)
+            for j in range(c):
+                i = s0 + j
+                f = annot + 1 + i if i < fwd_len else annot - 1 - (i - fwd_len)
+                if 0 <= f < nf:
+                    labels[f] = lab[j]
+        return labels
 
     # ---------------- full benchmark ----------------------------------- #
 

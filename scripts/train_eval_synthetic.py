@@ -6,9 +6,12 @@ model. CPU-runnable (BASELINE config 1 flavor).
 """
 
 import argparse
+import os
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def evaluate(cfg, model, variables, rounds=3):

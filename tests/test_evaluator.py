@@ -139,3 +139,56 @@ def test_round_masks_shape_and_labels(eval_setup):
     assert state.round_idx == 1
     # memory state was updated on-device
     assert state.gmap_mem.min() < 1.0
+
+
+def test_segmented_round_matches_monolithic():
+    """cfg.eval.round_segments pipelines downloads against compute; the
+    segmented round must produce EXACTLY the monolithic round's masks and
+    carry identical device state across rounds."""
+    import dataclasses
+
+    import jax
+
+    from cvpr2020_manet_tpu.config import tiny_test_config
+    from cvpr2020_manet_tpu.data import SyntheticDataset
+    from cvpr2020_manet_tpu.engine.evaluator import Evaluator
+    from cvpr2020_manet_tpu.interactive.robot import InteractiveScribblesRobot
+    from cvpr2020_manet_tpu.models import MANet
+
+    base = tiny_test_config()
+    ds = SyntheticDataset(image_size=base.eval.image_size,
+                          num_frames=base.eval.max_frames,
+                          num_sequences=1, num_objects=2, scribble_sets=1)
+    seq = ds.sequences()[0]
+    gt = ds.gt_masks(seq)
+    model = MANet(base.model, matching_backend="jnp")
+    h, w = base.eval.image_size
+    hp, wp = h + (-h) % base.eval.pad_to, w + (-w) % base.eval.pad_to
+    o = base.model.max_objects + 1
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, hp, wp, 3)),
+        jnp.zeros((1, hp // 4, wp // 4, o)), jnp.zeros((1, hp // 4, wp // 4, o)))
+
+    robot = InteractiveScribblesRobot()
+    results = {}
+    for segs in (1, 3):
+        cfg = dataclasses.replace(
+            base, eval=dataclasses.replace(base.eval, round_segments=segs))
+        ev = Evaluator(cfg, model, variables)
+        state = ev.start_sequence(ds.images(seq), ds.num_objects(seq))
+        masks = np.zeros_like(gt)
+        per_round = []
+        for _ in range(3):
+            scr = robot.interact(seq, masks, gt, ds.num_objects(seq))
+            masks = ev.run_round(state, scr.to_json(), gt.shape[1:],
+                                 ds.num_objects(seq))
+            per_round.append(masks.copy())
+        results[segs] = (per_round, np.asarray(state.prev_masks),
+                         np.asarray(state.gmap_mem))
+
+    for r, (m1, m3) in enumerate(zip(results[1][0], results[3][0])):
+        np.testing.assert_array_equal(m1, m3, err_msg=f"round {r}")
+    np.testing.assert_allclose(results[1][1], results[3][1],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(results[1][2], results[3][2],
+                               rtol=1e-5, atol=1e-6)
