@@ -110,12 +110,13 @@ class EvalConfig:
     # tests) — opt-in for latency-sensitive serving.
     mask_stride: int = 1
     # Interactive-round pipelining: the propagation sweep is split into
-    # this many dispatches so each segment's packed-mask download overlaps
-    # the next segment's compute (device->host rides a slow link; measured
-    # ~92 ms/round hidden on the sandbox tunnel). 1 = monolithic round
-    # (one dispatch). Segmented and monolithic rounds compute identical
-    # masks (pinned by tests).
-    round_segments: int = 3
+    # this many dispatches (geometrically growing spans) so each segment's
+    # packed-mask download overlaps the next segment's compute
+    # (device->host rides a slow link). 1 = monolithic round (one
+    # dispatch). Segmented and monolithic rounds compute identical masks
+    # (pinned by tests). Measured on the sandbox tunnel @16 frames:
+    # 1 -> 52 fps, 3 -> 70-77, 5 -> 85 (docs/BENCHMARKS.md).
+    round_segments: int = 5
 
 
 @dataclasses.dataclass(frozen=True)

@@ -46,6 +46,17 @@ def pad_image_to(x: np.ndarray, multiple: int) -> np.ndarray:
     return np.pad(x, pad)
 
 
+def pack_labels(lab, bits: int):
+    """Bit-pack uint8 labels along the trailing (W) axis: 4 px/byte at
+    2 bits, 2 px/byte at 4 bits (device-side; jnp or numpy arrays)."""
+    if bits == 2:
+        return (lab[..., 0::4] | (lab[..., 1::4] << 2)
+                | (lab[..., 2::4] << 4) | (lab[..., 3::4] << 6))
+    if bits == 4:
+        return lab[..., 0::2] | (lab[..., 1::2] << 4)
+    return lab
+
+
 def unpack_labels(packed: np.ndarray, bits: int) -> np.ndarray:
     """Inverse of the device-side W-axis bit packing in `_masks_impl`:
     (..., W // ppb) uint8 -> (..., W) uint8, ppb = 8 // bits.
@@ -232,15 +243,23 @@ class Evaluator:
                 emb_ordered.reshape(-1, ce), bucketed
             ).reshape(t - 1, h, w, o)
 
+        # decomposed head stage 1 (models/manet.py): round-constant conv0
+        # contributions, computed once per round
+        head_fp = model.apply(variables, feat,
+                              method=model.head_feat_contrib)
+        head_mp = model.apply(variables, int_mem,
+                              method=model.head_mem_contrib)
+
         def step(carry, xs):
-            f_t, e_t, e_prev, g_t, g_pre_t, reset = xs
+            f_t, e_t, e_prev, g_t, g_pre_t, reset, fp_t = xs
             # the backward sweep starts mid-scan: reset the carry to the
             # interaction-branch output at its first step
             prev = jnp.where(reset, int_probs, carry)
             logits, g_new = model.apply(
                 variables, f_t, e_t, ref_emb, ref_onehot, None,
                 g_t, e_prev, prev, int_mem, obj_valid,
-                method=model.propagate, gmap_override=g_pre_t)
+                method=model.propagate, gmap_override=g_pre_t,
+                head_pre=fp_t[None] + head_mp)
             probs = jax.nn.softmax(logits, axis=-1)
             return probs, (probs, g_new)
 
@@ -249,12 +268,13 @@ class Evaluator:
               jnp.take(emb, prev_frame, axis=0),
               jnp.take(gmap_mem, frame, axis=0),
               gm_pre,
-              reset)
+              reset,
+              jnp.take(head_fp, frame, axis=0))
         if gm_pre is None:
             # jnp backend: matching happens inside propagate per step
             step_fn = lambda c, x: step(
-                c, (x[0], x[1], x[2], x[3], None, x[4]))
-            xs = (xs[0], xs[1], xs[2], xs[3], xs[5])
+                c, (x[0], x[1], x[2], x[3], None, x[4], x[5]))
+            xs = (xs[0], xs[1], xs[2], xs[3], xs[5], xs[6])
             _, (probs_seq, g_seq) = jax.lax.scan(step_fn, int_probs, xs)
         else:
             _, (probs_seq, g_seq) = jax.lax.scan(step, int_probs, xs)
@@ -292,6 +312,7 @@ class Evaluator:
             mem_onehot = jax.lax.dynamic_update_slice(
                 mem_onehot, ref_onehot, (off, 0))
             ref_emb, ref_onehot = mem_emb, mem_onehot
+        model, variables = self.model, self.variables
         out = {
             "int_probs": int_probs,
             "int_mem": int_mem,
@@ -300,6 +321,13 @@ class Evaluator:
             "ref_onehot": ref_onehot,
             "prev_masks": prev_masks.at[annot_idx].set(int_probs),
             "annot_mask": self._masks_impl(int_probs[None], hw=mask_hw),
+            # decomposed head stage 1 (models/manet.py): the feature and
+            # MA-memory conv0 contributions are round-constant — compute
+            # once here, reuse for every propagated frame
+            "head_pre_frames": model.apply(
+                variables, feat, method=model.head_feat_contrib),
+            "head_mem_pre": model.apply(
+                variables, int_mem, method=model.head_mem_contrib),
         }
         if self.use_pallas:
             from cvpr2020_manet_tpu.ops.matching_pallas import prepare_ref
@@ -311,6 +339,7 @@ class Evaluator:
     def _sweep_impl(self, feat, emb, ref_emb, ref_onehot, bucketed,
                     int_probs, carry, prev_masks, gmap_mem, int_mem,
                     annot_idx, obj_valid, frame_valid,
+                    head_pre_frames, head_mem_pre,
                     *, start, count, mask_hw):
         """Propagate visit-order steps [start, start+count) of the round's
         (T-1)-step sweep schedule and pack this segment's masks. The carry
@@ -341,21 +370,23 @@ class Evaluator:
             ).reshape(count, h, w, o)
 
         def step(c, xs):
-            f_t, e_t, e_prev, g_t, g_pre_t, rs = xs
+            f_t, e_t, e_prev, g_t, g_pre_t, rs, fp_t = xs
             prev = jnp.where(rs, int_probs, c)
             logits, g_new = model.apply(
                 variables, f_t, e_t, ref_emb, ref_onehot, None,
                 g_t, e_prev, prev, int_mem, obj_valid,
-                method=model.propagate, gmap_override=g_pre_t)
+                method=model.propagate, gmap_override=g_pre_t,
+                head_pre=fp_t[None] + head_mem_pre)
             probs = jax.nn.softmax(logits, axis=-1)
             return probs, (probs, g_new)
 
+        fp = jnp.take(head_pre_frames, frame, axis=0)
         xs = (jnp.take(feat, frame, axis=0), emb_ordered,
-              jnp.take(emb, prev_frame, axis=0), g_taken, gm_pre, reset)
+              jnp.take(emb, prev_frame, axis=0), g_taken, gm_pre, reset, fp)
         if gm_pre is None:
             step_fn = lambda c, x: step(c, (x[0], x[1], x[2], x[3], None,
-                                            x[4]))
-            xs = (xs[0], xs[1], xs[2], xs[3], xs[5])
+                                            x[4], x[5]))
+            xs = (xs[0], xs[1], xs[2], xs[3], xs[5], xs[6])
             carry, (probs_seq, g_seq) = jax.lax.scan(step_fn, carry, xs)
         else:
             carry, (probs_seq, g_seq) = jax.lax.scan(step, carry, xs)
@@ -399,13 +430,7 @@ class Evaluator:
         Host side unpacks with `unpack_labels`."""
         up = resize_bilinear(probs, hw)
         lab = jnp.argmax(up, axis=-1).astype(jnp.uint8)
-        bits = self._mask_bits(probs.shape[-1])
-        if bits == 2:
-            return (lab[..., 0::4] | (lab[..., 1::4] << 2)
-                    | (lab[..., 2::4] << 4) | (lab[..., 3::4] << 6))
-        if bits == 4:
-            return lab[..., 0::2] | (lab[..., 1::2] << 4)
-        return lab
+        return pack_labels(lab, self._mask_bits(probs.shape[-1]))
 
     @staticmethod
     def _mask_bits(o_bucket: int) -> int:
@@ -571,7 +596,8 @@ class Evaluator:
             carry, pm, gm, mk = self._sweep(
                 state.feat, state.emb, out["ref_emb"], out["ref_onehot"],
                 out.get("bucketed"), out["int_probs"], carry, pm, gm, im,
-                annot_j, ov, fv, start=s0, count=c, mask_hw=mask_hw)
+                annot_j, ov, fv, out["head_pre_frames"],
+                out["head_mem_pre"], start=s0, count=c, mask_hw=mask_hw)
             seg_masks.append((s0, c, mk))
         state.prev_masks, state.gmap_mem, state.int_mem = pm, gm, im
 

@@ -69,19 +69,28 @@ class BatchPropagator:
                 method=model.aggregate_memory)
             ref_emb = emb_s[0].reshape(-1, emb_s.shape[-1])
             ref_oh = first_oh.reshape(-1, o)
+            # decomposed head stage 1 (models/manet.py): per-sequence
+            # feature and per-clip memory conv0 contributions hoisted out
+            # of the temporal scan
+            head_fp = model.apply(variables, feat_s,
+                                  method=model.head_feat_contrib)
+            head_mp = model.apply(variables, int_mem,
+                                  method=model.head_mem_contrib)
 
             def step(carry, xs):
                 prev_probs, e_prev = carry
-                f_t, e_t = xs
+                f_t, e_t, fp_t = xs
                 logits, _ = model.apply(
                     variables, f_t, e_t, ref_emb, ref_oh, None,
                     jnp.ones((hh, ww, o), jnp.float32), e_prev, prev_probs,
-                    int_mem, ov, method=model.propagate)
+                    int_mem, ov, method=model.propagate,
+                    head_pre=fp_t[None] + head_mp)
                 probs = jax.nn.softmax(logits, axis=-1)
                 return (probs, e_t), probs
 
             init = (first_oh, emb_s[0])
-            _, probs_seq = jax.lax.scan(step, init, (feat_s[1:], emb_s[1:]))
+            _, probs_seq = jax.lax.scan(
+                step, init, (feat_s[1:], emb_s[1:], head_fp[1:]))
             probs_seq = jnp.concatenate([first_oh[None], probs_seq], axis=0)
             return probs_seq                                   # (T, hh, ww, O)
 
@@ -89,22 +98,34 @@ class BatchPropagator:
 
         def upsample_frame(p):
             return jnp.argmax(resize_bilinear(p, (h_img, w_img)),
-                              axis=-1).astype(jnp.int32)
-        return jax.lax.map(upsample_frame,
-                           probs.reshape(b * t, hh, ww, o)
-                           ).reshape(b, t, h_img, w_img)
+                              axis=-1).astype(jnp.uint8)
+        lab = jax.lax.map(upsample_frame,
+                          probs.reshape(b * t, hh, ww, o)
+                          ).reshape(b, t, h_img, w_img)
+        # bit-packed transfer (2/4 bits per pixel): the raw label maps are
+        # the dominant device->host cost at batch scale
+        from cvpr2020_manet_tpu.engine.evaluator import (
+            Evaluator, pack_labels)
+        bits = Evaluator._mask_bits(o)
+        assert w_img % (8 // bits) == 0, \
+            f"width {w_img} must be a multiple of {8 // bits} (pad_to)"
+        return pack_labels(lab, bits)
 
     def propagate(self, frames_u8: np.ndarray, first_masks: np.ndarray,
                   num_objects: np.ndarray) -> np.ndarray:
         """Host API. frames_u8 (B,T,H,W,3) uint8; first_masks (B,h,w) int
         at feature resolution; num_objects (B,)."""
+        from cvpr2020_manet_tpu.engine.evaluator import (
+            Evaluator, unpack_labels)
         b = frames_u8.shape[0]
         obj_valid = np.zeros((b, self.o), np.float32)
         for i, n in enumerate(np.asarray(num_objects)):
             obj_valid[i, :int(n) + 1] = 1.0
-        return np.asarray(self._run(
+        packed = np.asarray(self._run(
             jnp.asarray(frames_u8), jnp.asarray(first_masks),
             jnp.asarray(obj_valid)))
+        return unpack_labels(
+            packed, Evaluator._mask_bits(self.o)).astype(np.int32)
 
 
 # --------------------------------------------------------------------- #

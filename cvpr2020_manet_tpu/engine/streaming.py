@@ -78,22 +78,32 @@ class StreamingIVOS:
             cur_feat=None, cur_emb=None, cur_probs=None,
             obj_valid=jnp.asarray(obj_valid),
             frame_idx=0,
+            # decomposed head stage 1 (models/manet.py): the MA memory's
+            # conv0 contribution changes only on correct(); conv0 of the
+            # zero-initialized memory is exactly zero (no bias)
+            head_mem_pre=jnp.zeros(
+                (o, hh, ww, self.cfg.model.head_channels),
+                jnp.dtype(self.cfg.model.dtype)),
         )
 
     # ------------------------------------------------------------------ #
 
     def _observe_impl(self, image, mem_emb, mem_onehot, int_mem,
-                      prev_emb, prev_probs, obj_valid, has_memory):
+                      prev_emb, prev_probs, obj_valid, has_memory,
+                      head_mem_pre):
         model, variables = self.model, self.variables
         o = mem_onehot.shape[-1]
         feat, emb = model.apply(variables, image[None],
                                 method=model.extract_features)
         f_t, e_t = feat[0], emb[0]
+        head_fp = model.apply(variables, f_t,
+                              method=model.head_feat_contrib)
         logits, _ = model.apply(
             variables, f_t, e_t, mem_emb, mem_onehot, None,
             jnp.ones((self.hh, self.ww, o), jnp.float32),
             prev_emb, prev_probs, int_mem, obj_valid,
-            method=model.propagate)
+            method=model.propagate,
+            head_pre=head_fp[None] + head_mem_pre)
         logits = logits + (1.0 - obj_valid)[None, None, :] * (-1e9)
         probs = jax.nn.softmax(logits, axis=-1)
         # before any correction there is no memory: everything background
@@ -122,7 +132,9 @@ class StreamingIVOS:
         mem_emb = jax.lax.dynamic_update_slice(mem_emb, ref, (off, 0))
         mem_onehot = jax.lax.dynamic_update_slice(mem_onehot, onehot, (off, 0))
         mask = self._mask(probs)
-        return probs, mem_emb, mem_onehot, int_mem, mask
+        head_mem_pre = model.apply(variables, int_mem,
+                                   method=model.head_mem_contrib)
+        return probs, mem_emb, mem_onehot, int_mem, mask, head_mem_pre
 
     def _mask(self, probs):
         up = resize_bilinear(probs, (self.hp, self.wp))
@@ -137,7 +149,8 @@ class StreamingIVOS:
         f_t, e_t, probs, mask = self._observe(
             jnp.asarray(image), st["mem_emb"], st["mem_onehot"],
             st["int_mem"], st["prev_emb"], st["prev_probs"],
-            st["obj_valid"], jnp.asarray(st["rounds"] > 0))
+            st["obj_valid"], jnp.asarray(st["rounds"] > 0),
+            st["head_mem_pre"])
         st["prev_emb"], st["prev_probs"] = e_t, probs
         st["cur_feat"], st["cur_emb"], st["cur_probs"] = f_t, e_t, probs
         st["frame_idx"] += 1
@@ -158,12 +171,15 @@ class StreamingIVOS:
         neg = downsample_mask_max(pad_image_to(neg, self.cfg.eval.pad_to),
                                   self.stride)
         r = min(st["rounds"], self.capacity - 1)
-        probs, mem_emb, mem_onehot, int_mem, mask = self._correct(
-            st["cur_feat"], st["cur_emb"], st["cur_probs"],
-            jnp.asarray(pos), jnp.asarray(neg),
-            st["mem_emb"], st["mem_onehot"], st["int_mem"], st["obj_valid"],
-            jnp.asarray(r, jnp.int32), jnp.asarray(st["rounds"] == 0))
+        probs, mem_emb, mem_onehot, int_mem, mask, head_mem_pre = \
+            self._correct(
+                st["cur_feat"], st["cur_emb"], st["cur_probs"],
+                jnp.asarray(pos), jnp.asarray(neg),
+                st["mem_emb"], st["mem_onehot"], st["int_mem"],
+                st["obj_valid"],
+                jnp.asarray(r, jnp.int32), jnp.asarray(st["rounds"] == 0))
         st.update(mem_emb=mem_emb, mem_onehot=mem_onehot, int_mem=int_mem,
-                  cur_probs=probs, prev_probs=probs)
+                  cur_probs=probs, prev_probs=probs,
+                  head_mem_pre=head_mem_pre)
         st["rounds"] += 1
         return np.asarray(mask)[:h, :w]

@@ -43,11 +43,21 @@ class ConvStack(nn.Module):
     dtype: Any
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, pre0=None):
+        """pre0: optional precomputed conv0 PRE-activation (before norm).
+
+        conv0 is linear, so callers whose inputs split into per-frame /
+        per-round-constant blocks can precompute those blocks' conv0
+        contributions once and hand in the sum (MANet.propagate's
+        decomposed head path) — stage 1's norm+relu and the later stages
+        run unchanged."""
         norm_ctor = make_norm(self.norm, self.dtype, self.gn_groups)
         for i in range(self.depth):
-            x = nn.Conv(self.channels, (3, 3), use_bias=False,
-                        dtype=self.dtype, name=f"conv{i}")(x)
+            if i == 0 and pre0 is not None:
+                x = pre0.astype(self.dtype)
+            else:
+                x = nn.Conv(self.channels, (3, 3), use_bias=False,
+                            dtype=self.dtype, name=f"conv{i}")(x)
             x = nn.relu(norm_ctor()(x))
         return x
 
@@ -90,9 +100,9 @@ class DynamicSegHead(nn.Module):
     dtype: Any
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, pre0=None):
         y = ConvStack(self.head_channels, 3, self.norm, self.gn_groups,
-                      self.dtype, name="stack")(x)
+                      self.dtype, name="stack")(x, pre0=pre0)
         return nn.Conv(1, (1, 1), dtype=jnp.float32, name="logit")(y)
 
 

@@ -132,15 +132,51 @@ class MANet(nn.Module):
 
     def propagate(self, feature_t, emb_t, ref_emb, ref_onehot, ref_valid,
                   global_map_prev, prev_emb, prev_mask, int_memory, obj_valid,
-                  gmap_override=None):
+                  gmap_override=None, head_pre=None):
         return self._propagate(
             feature_t, emb_t, ref_emb, ref_onehot, ref_valid,
             global_map_prev, prev_emb, prev_mask, int_memory, obj_valid,
-            gmap_override=gmap_override)
+            gmap_override=gmap_override, head_pre=head_pre)
+
+    # -- decomposed head stage 1 (eval fast path) ----------------------- #
+    #
+    # The propagation head's first conv is LINEAR in its input, and two of
+    # its three input blocks are constant within a round: the backbone
+    # feature block is fixed per sequence and the MA memory block per
+    # round (SURVEY.md C5/C6). Precomputing those blocks' conv0
+    # contributions once per round (head_feat_contrib over all frames,
+    # head_mem_contrib over objects) leaves only the tiny 3-channel maps
+    # conv per frame — cutting the per-frame head FLOPs ~55% and dropping
+    # the per-object broadcast of the feature block. Exact up to float
+    # summation order (golden-tested vs the fused path).
+
+    def _head_conv0_slice(self, x, lo, hi):
+        """conv0 applied to input-channel range [lo, hi) of the stage-1
+        kernel. x (..., h, w, hi-lo) -> (..., h, w, C), model dtype."""
+        k = self.seg_head.variables["params"]["stack"]["conv0"]["kernel"]
+        dtype = jnp.dtype(self.cfg.dtype)
+        batched = x if x.ndim == 4 else x[None]
+        y = jax.lax.conv_general_dilated(
+            batched.astype(dtype), k[:, :, lo:hi, :].astype(dtype),
+            window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        y = y.astype(dtype)
+        return y if x.ndim == 4 else y[0]
+
+    def head_feat_contrib(self, feat):
+        """(T, h, w, Cd) backbone features -> their conv0 contribution."""
+        return self._head_conv0_slice(feat, 0, self.cfg.decoder_channels)
+
+    def head_mem_contrib(self, int_memory):
+        """(O, h, w, Cma) MA memory -> its conv0 contribution."""
+        cf = self.cfg.decoder_channels
+        return self._head_conv0_slice(
+            int_memory, cf + 3, cf + 3 + self.cfg.ma_channels)
 
     def _propagate(self, feature_t, emb_t, ref_emb, ref_onehot, ref_valid,
                    global_map_prev, prev_emb, prev_mask, int_memory,
-                   obj_valid, gmap_override=None):
+                   obj_valid, gmap_override=None, head_pre=None):
         """Propagation branch for one frame.
 
         feature_t (h, w, Cd), emb_t (h, w, Ce): current frame.
@@ -189,6 +225,19 @@ class MANet(nn.Module):
         # Assemble per-object decoder inputs (SURVEY.md C5,
         # ~calculate_attention_head).
         dtype = feature_t.dtype
+        if head_pre is not None:
+            # decomposed stage 1: feature/memory conv0 contributions were
+            # precomputed by the caller (head_pre); only the 3 per-frame
+            # map channels go through conv0 here
+            maps = jnp.concatenate(
+                [_fold_maps(gm), _fold_maps(lm), _fold_maps(prev_mask)],
+                axis=-1).astype(dtype)                       # (O, h, w, 3)
+            cf = cfg.decoder_channels
+            pre0 = self._head_conv0_slice(maps, cf, cf + 3) \
+                + head_pre.astype(dtype)
+            logits = _unfold_logits(self.seg_head(None, pre0=pre0))
+            logits = logits + (1.0 - obj_valid)[None, None, :] * (-1e9)
+            return logits, gm
         f = jnp.broadcast_to(feature_t[None], (o, *feature_t.shape))
         x = jnp.concatenate(
             [f,

@@ -171,7 +171,7 @@ def test_segmented_round_matches_monolithic():
 
     robot = InteractiveScribblesRobot()
     results = {}
-    for segs in (1, 3):
+    for segs in (1, 5):
         cfg = dataclasses.replace(
             base, eval=dataclasses.replace(base.eval, round_segments=segs))
         ev = Evaluator(cfg, model, variables)
@@ -186,9 +186,9 @@ def test_segmented_round_matches_monolithic():
         results[segs] = (per_round, np.asarray(state.prev_masks),
                          np.asarray(state.gmap_mem))
 
-    for r, (m1, m3) in enumerate(zip(results[1][0], results[3][0])):
+    for r, (m1, m3) in enumerate(zip(results[1][0], results[5][0])):
         np.testing.assert_array_equal(m1, m3, err_msg=f"round {r}")
-    np.testing.assert_allclose(results[1][1], results[3][1],
+    np.testing.assert_allclose(results[1][1], results[5][1],
                                rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(results[1][2], results[3][2],
+    np.testing.assert_allclose(results[1][2], results[5][2],
                                rtol=1e-5, atol=1e-6)

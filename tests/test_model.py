@@ -82,3 +82,49 @@ def test_memory_aggregation_gate_blends(model_and_vars):
     # gated blend stays strictly inside the hull of {f, m}
     assert fused.min() >= -1.0 - 1e-5 and fused.max() <= 1.0 + 1e-5
     assert not np.allclose(fused, np.asarray(f))
+
+
+def test_decomposed_head_matches_fused_propagate(rng):
+    """MANet.propagate(head_pre=...) — conv0 decomposed into precomputed
+    feature/memory contributions + per-frame maps conv — must match the
+    fused path up to float summation order (models/manet.py)."""
+    import jax
+
+    from cvpr2020_manet_tpu.config import tiny_test_config
+
+    cfg = tiny_test_config().model
+    model = MANet(cfg, matching_backend="jnp")
+    o = cfg.max_objects + 1
+    h, w = 16, 24
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, h * 4, w * 4, 3)),
+        jnp.zeros((1, h, w, o)), jnp.zeros((1, h, w, o)))
+
+    def r(*shape):
+        return jnp.asarray(rng.normal(size=shape), jnp.float32)
+
+    feat = r(h, w, cfg.decoder_channels)
+    emb_t, prev_emb = r(h, w, cfg.embedding_dim_padded), r(h, w, cfg.embedding_dim_padded)
+    ref_emb = r(h * w, cfg.embedding_dim_padded)
+    ref_oh = jax.nn.one_hot(
+        jnp.asarray(rng.integers(0, o, h * w)), o, dtype=jnp.float32)
+    gmap_prev = jnp.ones((h, w, o), jnp.float32)
+    prev_mask = jax.nn.softmax(r(h, w, o), axis=-1)
+    int_mem = r(o, h, w, cfg.ma_channels)
+    obj_valid = jnp.ones((o,), jnp.float32)
+
+    args = (feat, emb_t, ref_emb, ref_oh, None, gmap_prev, prev_emb,
+            prev_mask, int_mem, obj_valid)
+    fused_logits, fused_gm = model.apply(variables, *args,
+                                         method=model.propagate)
+
+    fp = model.apply(variables, feat, method=model.head_feat_contrib)
+    mp = model.apply(variables, int_mem, method=model.head_mem_contrib)
+    dec_logits, dec_gm = model.apply(
+        variables, *args, method=model.propagate,
+        head_pre=fp[None] + mp)
+
+    np.testing.assert_allclose(np.asarray(dec_gm), np.asarray(fused_gm))
+    np.testing.assert_allclose(np.asarray(dec_logits),
+                               np.asarray(fused_logits),
+                               rtol=1e-4, atol=1e-4)
