@@ -30,85 +30,89 @@ def preprocess_frames(frames: jax.Array) -> jax.Array:
 
 
 class BatchPropagator:
+    """Two small jitted graphs + a host pipeline (NOT one monolithic jit):
+
+    - `_extract`: fixed 8-frame encoder chunks — one compilation serves
+      any (B, T), and peak backbone activation memory stays bounded.
+    - `_one_seq`: seed-from-first-mask + temporal scan + upsample/argmax
+      + bit-pack for ONE sequence. Sequences are dispatched back-to-back
+      (dispatch is async) and their packed-mask downloads drain
+      concurrently from a thread pool, overlapping the later sequences'
+      compute — the same pipelining as the interactive evaluator's
+      segmented rounds. vmap over sequences is not an option anyway: the
+      Pallas matching kernels use manually-DMA'd ANY-memory-space
+      operands that Mosaic cannot batch."""
+
     def __init__(self, cfg: Config, model: MANet, variables):
         self.cfg = cfg
         self.model = model
         self.variables = variables
         self.o = cfg.model.max_objects + 1
-        self._run = jax.jit(self._run_impl)
+        self._extract = jax.jit(self._extract_impl)
+        self._one_seq = jax.jit(self._one_seq_impl)
+        import concurrent.futures
+        self._fetch_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=4, thread_name_prefix="batch-mask-fetch")
 
-    def _run_impl(self, frames_u8, first_masks, obj_valid):
-        """frames_u8 (B, T, H, W, 3) uint8; first_masks (B, h, w) int32
-        labels at feature resolution; obj_valid (B, O).
-        Returns per-frame label maps (B, T, H, W) int32."""
+    def _extract_impl(self, frames_u8):
+        """(N, H, W, 3) uint8 -> (features, embeddings)."""
+        return self.model.apply(self.variables, preprocess_frames(frames_u8),
+                                method=self.model.extract_features)
+
+    def _one_seq_impl(self, feat_s, emb_s, first_mask, ov):
+        """One sequence: (T, hh, ww, *) features/embeddings + first-frame
+        labels -> bit-packed argmax label maps (T, H, W * bits / 8)."""
         model, variables = self.model, self.variables
         o = self.o
-        b, t, h_img, w_img, _ = frames_u8.shape
+        t, hh, ww, _ = feat_s.shape
+        s = self.cfg.model.feature_stride
+        h_img, w_img = hh * s, ww * s
 
-        images = preprocess_frames(frames_u8)
-        feat, emb = model.apply(
-            variables, images.reshape(b * t, h_img, w_img, 3),
-            method=model.extract_features)
-        hh, ww = feat.shape[1:3]
-        feat = feat.reshape(b, t, hh, ww, -1)
-        emb = emb.reshape(b, t, hh, ww, -1)
+        first_oh = jax.nn.one_hot(first_mask, o, dtype=jnp.float32)
+        first_oh = first_oh * ov[None, None, :]
+        # seed interaction memory from the given mask (round-0 style:
+        # the GT/first mask stands in for scribbles — SURVEY.md §4.3)
+        pos = first_oh
+        scribbled = jnp.max(pos, axis=-1, keepdims=True)
+        neg = (scribbled - pos) * ov[None, None, :]
+        int_feats, _ = model.apply(
+            variables, feat_s[0], pos, neg, first_oh,
+            method=model.interact)
+        int_mem = model.apply(
+            variables, int_feats, jnp.zeros_like(int_feats), True,
+            method=model.aggregate_memory)
+        ref_emb = emb_s[0].reshape(-1, emb_s.shape[-1])
+        ref_oh = first_oh.reshape(-1, o)
+        # decomposed head stage 1 (models/manet.py): per-sequence feature
+        # and per-clip memory conv0 contributions hoisted out of the scan
+        head_fp = model.apply(variables, feat_s,
+                              method=model.head_feat_contrib)
+        head_mp = model.apply(variables, int_mem,
+                              method=model.head_mem_contrib)
 
-        def one_sequence(feat_s, emb_s, first_mask, ov):
-            first_oh = jax.nn.one_hot(first_mask, o, dtype=jnp.float32)
-            first_oh = first_oh * ov[None, None, :]
-            # seed interaction memory from the given mask (round-0 style:
-            # the GT/first mask stands in for scribbles — SURVEY.md §4.3)
-            pos = first_oh
-            scribbled = jnp.max(pos, axis=-1, keepdims=True)
-            neg = (scribbled - pos) * ov[None, None, :]
-            int_feats, _ = model.apply(
-                variables, feat_s[0], pos, neg, first_oh,
-                method=model.interact)
-            int_mem = model.apply(
-                variables, int_feats, jnp.zeros_like(int_feats), True,
-                method=model.aggregate_memory)
-            ref_emb = emb_s[0].reshape(-1, emb_s.shape[-1])
-            ref_oh = first_oh.reshape(-1, o)
-            # decomposed head stage 1 (models/manet.py): per-sequence
-            # feature and per-clip memory conv0 contributions hoisted out
-            # of the temporal scan
-            head_fp = model.apply(variables, feat_s,
-                                  method=model.head_feat_contrib)
-            head_mp = model.apply(variables, int_mem,
-                                  method=model.head_mem_contrib)
+        def step(carry, xs):
+            prev_probs, e_prev = carry
+            f_t, e_t, fp_t = xs
+            logits, _ = model.apply(
+                variables, f_t, e_t, ref_emb, ref_oh, None,
+                jnp.ones((hh, ww, o), jnp.float32), e_prev, prev_probs,
+                int_mem, ov, method=model.propagate,
+                head_pre=fp_t[None] + head_mp)
+            probs = jax.nn.softmax(logits, axis=-1)
+            return (probs, e_t), probs
 
-            def step(carry, xs):
-                prev_probs, e_prev = carry
-                f_t, e_t, fp_t = xs
-                logits, _ = model.apply(
-                    variables, f_t, e_t, ref_emb, ref_oh, None,
-                    jnp.ones((hh, ww, o), jnp.float32), e_prev, prev_probs,
-                    int_mem, ov, method=model.propagate,
-                    head_pre=fp_t[None] + head_mp)
-                probs = jax.nn.softmax(logits, axis=-1)
-                return (probs, e_t), probs
+        init = (first_oh, emb_s[0])
+        _, probs_seq = jax.lax.scan(
+            step, init, (feat_s[1:], emb_s[1:], head_fp[1:]))
+        probs_seq = jnp.concatenate([first_oh[None], probs_seq], axis=0)
 
-            init = (first_oh, emb_s[0])
-            _, probs_seq = jax.lax.scan(
-                step, init, (feat_s[1:], emb_s[1:], head_fp[1:]))
-            probs_seq = jnp.concatenate([first_oh[None], probs_seq], axis=0)
-            return probs_seq                                   # (T, hh, ww, O)
-
-        probs = jax.vmap(one_sequence)(feat, emb, first_masks, obj_valid)
-
-        def upsample_frame(p):
-            return jnp.argmax(resize_bilinear(p, (h_img, w_img)),
-                              axis=-1).astype(jnp.uint8)
-        lab = jax.lax.map(upsample_frame,
-                          probs.reshape(b * t, hh, ww, o)
-                          ).reshape(b, t, h_img, w_img)
-        # bit-packed transfer (2/4 bits per pixel): the raw label maps are
-        # the dominant device->host cost at batch scale
+        lab = jnp.argmax(resize_bilinear(probs_seq, (h_img, w_img)),
+                         axis=-1).astype(jnp.uint8)
+        # bit-packed transfer (2/4 bits per pixel): raw label maps are the
+        # dominant device->host cost at batch scale
         from cvpr2020_manet_tpu.engine.evaluator import (
             Evaluator, pack_labels)
         bits = Evaluator._mask_bits(o)
-        assert w_img % (8 // bits) == 0, \
-            f"width {w_img} must be a multiple of {8 // bits} (pad_to)"
         return pack_labels(lab, bits)
 
     def propagate(self, frames_u8: np.ndarray, first_masks: np.ndarray,
@@ -117,15 +121,37 @@ class BatchPropagator:
         at feature resolution; num_objects (B,)."""
         from cvpr2020_manet_tpu.engine.evaluator import (
             Evaluator, unpack_labels)
-        b = frames_u8.shape[0]
+        b, t, h_img, w_img, _ = frames_u8.shape
+        bits = Evaluator._mask_bits(self.o)
+        assert w_img % (8 // bits) == 0, \
+            f"width {w_img} must be a multiple of {8 // bits} (pad_to)"
         obj_valid = np.zeros((b, self.o), np.float32)
         for i, n in enumerate(np.asarray(num_objects)):
             obj_valid[i, :int(n) + 1] = 1.0
-        packed = np.asarray(self._run(
-            jnp.asarray(frames_u8), jnp.asarray(first_masks),
-            jnp.asarray(obj_valid)))
-        return unpack_labels(
-            packed, Evaluator._mask_bits(self.o)).astype(np.int32)
+
+        flat = jnp.asarray(frames_u8.reshape(b * t, h_img, w_img, 3))
+        chunk = 8 if (b * t) % 8 == 0 else b * t
+        feats, embs = [], []
+        for i in range(0, b * t, chunk):
+            f, e = self._extract(flat[i:i + chunk])
+            feats.append(f)
+            embs.append(e)
+        feat = jnp.concatenate(feats, axis=0)
+        emb = jnp.concatenate(embs, axis=0)
+        hh, ww = feat.shape[1:3]
+        feat = feat.reshape(b, t, hh, ww, -1)
+        emb = emb.reshape(b, t, hh, ww, -1)
+
+        fm = jnp.asarray(first_masks)
+        ov = jnp.asarray(obj_valid)
+        # dispatch every sequence (async), then drain downloads in order:
+        # sequence i's packed masks cross the link while i+1.. compute
+        fetches = []
+        for i in range(b):
+            packed = self._one_seq(feat[i], emb[i], fm[i], ov[i])
+            fetches.append(self._fetch_pool.submit(np.asarray, packed))
+        labs = [unpack_labels(f.result(), bits) for f in fetches]
+        return np.stack(labs).astype(np.int32)
 
 
 # --------------------------------------------------------------------- #

@@ -189,3 +189,35 @@ def _iou(a: np.ndarray, b: np.ndarray) -> float:
     if union == 0:
         return 1.0
     return float(np.count_nonzero(a & b) / union)
+
+
+class DavisInteractiveSession(InteractiveSession):
+    """Drop-in constructor parity with
+    `davisinteractive.session.DavisInteractiveSession` (SURVEY.md C20):
+
+        with DavisInteractiveSession(host='localhost',
+                                     davis_root='/data/DAVIS',
+                                     subset='val',
+                                     max_nb_interactions=8,
+                                     max_time=None) as sess:
+            while sess.next(): ...
+
+    `host` is accepted and ignored (this implementation IS the local
+    service; there is no remote mode). Pass `dataset=` to skip the DAVIS
+    tree and use any adapter (e.g. the synthetic fixture)."""
+
+    def __init__(self, host: str = "localhost", key: str = "",
+                 davis_root: Optional[str] = None, subset: str = "val",
+                 max_nb_interactions: int = 8,
+                 max_time: Optional[float] = None,
+                 metric_to_optimize: str = "J_AND_F",
+                 dataset=None, **kwargs):
+        del host, key
+        if dataset is None:
+            if davis_root is None:
+                raise ValueError("pass davis_root=... or dataset=...")
+            from cvpr2020_manet_tpu.data.davis import DavisEvalDataset
+            dataset = DavisEvalDataset(davis_root, subset=subset)
+        super().__init__(dataset, max_interactions=max_nb_interactions,
+                         max_time=max_time,
+                         metric_to_optimize=metric_to_optimize, **kwargs)

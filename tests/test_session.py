@@ -125,3 +125,22 @@ def _fake_clock():
         state["t"] += 1.0
         return state["t"]
     return clock
+
+
+def test_davisinteractive_compat_constructor():
+    """DavisInteractiveSession mirrors the upstream constructor signature
+    (host/key ignored, max_nb_interactions, max_time, dataset= override)."""
+    from cvpr2020_manet_tpu.interactive.session import DavisInteractiveSession
+
+    ds = SyntheticDataset(num_sequences=1, scribble_sets=1, num_frames=2)
+    with DavisInteractiveSession(host="localhost",
+                                 max_nb_interactions=2,
+                                 max_time=None, dataset=ds) as sess:
+        assert sess.max_interactions == 2
+        assert sess.next()
+        seq, scribbles, first = sess.get_scribbles()
+        assert first and scribbles["scribbles"]
+        sess.submit_masks(np.zeros_like(ds.gt_masks(seq)))
+
+    with pytest.raises(ValueError, match="davis_root"):
+        DavisInteractiveSession()
