@@ -126,8 +126,9 @@ def make_cp_train_step(model: MANet, cfg: Config, mesh):
                 l_int = bootstrapped_cross_entropy(int_up, labels[0], ratio)
                 l_prop = bootstrapped_cross_entropy(prop_up, labels[2], ratio)
                 return l_prop + 0.5 * l_int
-            return jnp.mean(jax.vmap(per_sample)(
-                batch["images"], batch["labels"], batch["obj_valid"]))
+            return jnp.mean(jax.lax.map(
+                lambda xs: per_sample(*xs),
+                (batch["images"], batch["labels"], batch["obj_valid"])))
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         grads = jax.lax.pmean(jax.lax.pmean(grads, "data"), "context")
@@ -163,10 +164,15 @@ def make_train_step(model: MANet, cfg: Config):
             l_prop = bootstrapped_cross_entropy(prop_up, labels[2], ratio)
             return l_prop + 0.5 * l_int, (l_prop, l_int)
 
+        # lax.map, not vmap, over the per-device batch: the Pallas
+        # matching kernels (trainable_matching path) use manually-DMA'd
+        # ANY-memory-space operands that Mosaic cannot batch under vmap;
+        # each sample's 3-frame forward already fills the chip
         (loss, (l_prop, l_int)) = jax.tree_util.tree_map(
             jnp.mean,
-            jax.vmap(per_sample)(batch["images"], batch["labels"],
-                                 batch["obj_valid"]))
+            jax.lax.map(lambda xs: per_sample(*xs),
+                        (batch["images"], batch["labels"],
+                         batch["obj_valid"])))
         return loss, {"loss": loss, "loss_prop": l_prop, "loss_int": l_int}
 
     def train_step(state: TrainState, batch):

@@ -170,7 +170,8 @@ def forward_sample_stage2(model: MANet, params, images, labels, obj_valid,
                 int_mem, obj_valid, method=model.propagate)
             return logits
 
-        logits = jax.vmap(prop_frame)(jnp.arange(f))       # (F, hh, ww, O)
+        # lax.map (vmap cannot batch the DMA'd Pallas matching kernels)
+        logits = jax.lax.map(prop_frame, jnp.arange(f))    # (F, hh, ww, O)
         # the annotated frame keeps its interaction-branch refresh
         int_l = int_logits + (1.0 - obj_valid)[None, None, :] * (-1e9)
         logits = logits.at[a].set(int_l)
@@ -207,9 +208,10 @@ def make_train_step(model: MANet, cfg: Config):
             return jnp.sum(losses * weights) / jnp.sum(weights) / f
 
         b = batch["images"].shape[0]
-        loss = jnp.mean(jax.vmap(per_sample)(
-            batch["images"], batch["labels"], batch["obj_valid"],
-            jax.random.split(key, b)))
+        loss = jnp.mean(jax.lax.map(
+            lambda xs: per_sample(*xs),
+            (batch["images"], batch["labels"], batch["obj_valid"],
+             jax.random.split(key, b))))
         return loss, {"loss": loss}
 
     def train_step(state: TrainState, batch, key):
