@@ -57,7 +57,10 @@ def main(argv=None):
     ds = SyntheticDataset(image_size=(h, w), num_frames=args.frames + 2,
                           num_sequences=1, num_objects=2, scribble_sets=1)
     seq = ds.sequences()[0]
-    frames = ds.images(seq)
+    # uint8 ingest path (raw RGB; the server normalizes on device)
+    from cvpr2020_manet_tpu.data.davis import IMAGENET_MEAN, IMAGENET_STD
+    frames = np.clip((ds.images(seq) * IMAGENET_STD + IMAGENET_MEAN) * 255.0,
+                     0, 255).astype(np.uint8)
 
     # warm-up: compile observe + correct
     s.observe(frames[0])
