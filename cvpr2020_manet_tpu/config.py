@@ -40,8 +40,7 @@ class ModelConfig:
     ma_channels: int = 128           # interaction-feature / memory channels
     norm: str = "gn"                 # backbone/encoder norm: "gn" | "bn" | "syncbn" | "frozen"
     # decoder-head norm. "gn" default (measured fastest on v5e: per-pixel
-    # LayerNorm's lane-wise reductions cost ~30% of round fps); "ln" is
-    # required by the fused Pallas head kernel (ops/fused_head_pallas.py).
+    # LayerNorm's lane-wise reductions cost ~30% of round fps).
     head_norm: str = "gn"
     gn_groups: int = 32
     dtype: str = "bfloat16"          # activations; params stay float32

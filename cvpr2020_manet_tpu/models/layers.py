@@ -65,8 +65,7 @@ def make_norm(norm: str, dtype: Any, gn_groups: int = 32,
                 name=name,
             )
     elif norm == "ln":
-        # per-pixel channel LayerNorm (ConvNeXt-style): tile-local, which
-        # the fused Pallas head kernel requires (ops/fused_head_pallas.py)
+        # per-pixel channel LayerNorm (ConvNeXt-style)
         def ctor(name=None):
             return nn.LayerNorm(dtype=dtype, name=name)
     elif norm == "frozen":

@@ -52,11 +52,6 @@ class MANet(nn.Module):
     # global_matching_trainable, ops/local_matching_pallas.
     # local_matching_trainable). Eval keeps the leaner plain kernels.
     trainable_matching: bool = False
-    # Fused Pallas propagation head (ops/fused_head_pallas.py): streams
-    # the whole conv stack through VMEM row strips (the XLA head is
-    # HBM-bound). Requires cfg.head_norm == 'ln'. Same weights, same
-    # outputs (golden-tested) — an execution strategy, not a model change.
-    fused_head: bool = False
 
     def setup(self):
         cfg = self.cfg
@@ -245,23 +240,7 @@ class MANet(nn.Module):
              _fold_maps(lm).astype(dtype),
              _fold_maps(prev_mask).astype(dtype),
              int_memory.astype(dtype)], axis=-1)
-        if (self.fused_head and not self.is_initializing()
-                and getattr(cfg, "head_norm", cfg.norm) == "ln"):
-            from cvpr2020_manet_tpu.ops.fused_head_pallas import (
-                fused_seg_head)
-            p = self.seg_head.variables["params"]
-            ln = []
-            for i in range(3):
-                ln += [p["stack"][f"LayerNorm_{i}"]["scale"],
-                       p["stack"][f"LayerNorm_{i}"]["bias"]]
-            logits_ohw = fused_seg_head(
-                x, p["stack"]["conv0"]["kernel"],
-                p["stack"]["conv1"]["kernel"],
-                p["stack"]["conv2"]["kernel"],
-                p["logit"]["kernel"][0, 0], p["logit"]["bias"], ln)
-            logits = jnp.transpose(logits_ohw, (1, 2, 0))
-        else:
-            logits = _unfold_logits(self.seg_head(x))   # (h, w, O) f32
+        logits = _unfold_logits(self.seg_head(x))       # (h, w, O) f32
         logits = logits + (1.0 - obj_valid)[None, None, :] * (-1e9)
         return logits, gm
 
