@@ -47,14 +47,38 @@ def pad_image_to(x: np.ndarray, multiple: int) -> np.ndarray:
 
 
 def pack_labels(lab, bits: int):
-    """Bit-pack uint8 labels along the trailing (W) axis: 4 px/byte at
-    2 bits, 2 px/byte at 4 bits (device-side; jnp or numpy arrays)."""
+    """Bit-pack uint8 labels along the trailing (W) axis (device-side;
+    jnp or numpy): 8 px/byte at 1 bit, 4 at 2 bits, 2 at 4 bits.
+
+    W-axis slicing over the 3-D (T, H, W) map is the FAST layout on TPU:
+    a flattened (T, H*W) variant — including a denser base-3 code for the
+    3-label case — measured 93.3 -> 81-87 fps at 480p because the pack
+    runs at the end of each sweep segment, directly delaying mask
+    availability (docs/BENCHMARKS.md)."""
+    if bits == 1:
+        acc = lab[..., 0::8]
+        for i in range(1, 8):
+            acc = acc | (lab[..., i::8] << i)
+        return acc
     if bits == 2:
         return (lab[..., 0::4] | (lab[..., 1::4] << 2)
                 | (lab[..., 2::4] << 4) | (lab[..., 3::4] << 6))
     if bits == 4:
         return lab[..., 0::2] | (lab[..., 1::2] << 4)
     return lab
+
+
+def mask_bits_for_labels(num_labels: int) -> int:
+    """Bits/px for the LIVE label count of a sequence (not the padded
+    object bucket): a 1-object sequence ships 1 bit/px — half the bytes
+    of the bucket's 2-bit code on the most common DAVIS case."""
+    if num_labels <= 2:
+        return 1
+    if num_labels <= 4:
+        return 2
+    if num_labels <= 16:
+        return 4
+    return 8
 
 
 def unpack_labels(packed: np.ndarray, bits: int) -> np.ndarray:
@@ -126,14 +150,18 @@ class Evaluator:
         self._extract = jax.jit(self._extract_impl)
         # masks fused into the round: ONE device dispatch per interaction
         # round (each dispatch pays a full RTT through the TPU tunnel)
-        self._round = jax.jit(self._round_impl, static_argnames=("mask_hw",))
-        self._masks = jax.jit(self._masks_impl, static_argnames=("hw",))
+        self._round = jax.jit(self._round_impl,
+                              static_argnames=("mask_hw", "pack"))
+        self._masks = jax.jit(self._masks_impl,
+                              static_argnames=("hw", "pack"))
         # segmented round (cfg.eval.round_segments > 1): interaction
         # dispatch + S sweep dispatches; each segment's packed-mask
         # download overlaps the next segment's compute on the device
-        self._start = jax.jit(self._start_impl, static_argnames=("mask_hw",))
+        self._start = jax.jit(self._start_impl,
+                              static_argnames=("mask_hw", "pack"))
         self._sweep = jax.jit(self._sweep_impl,
-                              static_argnames=("start", "count", "mask_hw"))
+                              static_argnames=("start", "count", "mask_hw",
+                                               "pack"))
         import concurrent.futures
         self._fetch_pool = concurrent.futures.ThreadPoolExecutor(
             max_workers=4, thread_name_prefix="mask-fetch")
@@ -195,7 +223,7 @@ class Evaluator:
     def _round_impl(self, feat, emb, raster, annot_idx,
                     prev_masks, gmap_mem, int_mem, is_first, obj_valid,
                     frame_valid, round_idx=None, mem_emb=None,
-                    mem_onehot=None, *, mask_hw=None):
+                    mem_onehot=None, *, mask_hw=None, pack="b2"):
         model, variables = self.model, self.variables
         t, h, w, _ = feat.shape
         o = prev_masks.shape[-1]     # object bucket of this sequence
@@ -287,7 +315,8 @@ class Evaluator:
         fv = frame_valid[:, None, None, None]
         probs = jnp.where(fv, probs, prev_masks)
         gmap = jnp.where(fv, gmap, gmap_mem)
-        masks = self._masks_impl(probs, hw=mask_hw) if mask_hw else None
+        masks = (self._masks_impl(probs, hw=mask_hw, pack=pack)
+                 if mask_hw else None)
         if self.memory_mode == "stacked":
             return probs, gmap, int_mem, masks, mem_emb, mem_onehot
         return probs, gmap, int_mem, masks
@@ -297,7 +326,7 @@ class Evaluator:
     def _start_impl(self, feat, emb, raster, annot_idx, prev_masks,
                     gmap_mem, int_mem, is_first, obj_valid,
                     round_idx=None, mem_emb=None, mem_onehot=None,
-                    *, mask_hw):
+                    *, mask_hw, pack):
         """Round head as its own dispatch: interaction branch + matching
         reference prep + the annotated frame's packed mask."""
         int_probs, int_mem, gmap_mem, ref_emb, ref_onehot = \
@@ -320,7 +349,8 @@ class Evaluator:
             "ref_emb": ref_emb,
             "ref_onehot": ref_onehot,
             "prev_masks": prev_masks.at[annot_idx].set(int_probs),
-            "annot_mask": self._masks_impl(int_probs[None], hw=mask_hw),
+            "annot_mask": self._masks_impl(int_probs[None], hw=mask_hw,
+                                           pack=pack),
             # decomposed head stage 1 (models/manet.py): the feature and
             # MA-memory conv0 contributions are round-constant — compute
             # once here, reuse for every propagated frame
@@ -340,7 +370,7 @@ class Evaluator:
                     int_probs, carry, prev_masks, gmap_mem, int_mem,
                     annot_idx, obj_valid, frame_valid,
                     head_pre_frames, head_mem_pre,
-                    *, start, count, mask_hw):
+                    *, start, count, mask_hw, pack):
         """Propagate visit-order steps [start, start+count) of the round's
         (T-1)-step sweep schedule and pack this segment's masks. The carry
         chains across segments; the backward-sweep reset (carry back to the
@@ -396,7 +426,7 @@ class Evaluator:
         g_w = jnp.where(fv, g_seq, g_taken)
         prev_masks = prev_masks.at[frame].set(probs_w)
         gmap_mem = gmap_mem.at[frame].set(g_w)
-        masks = self._masks_impl(probs_w, hw=mask_hw)
+        masks = self._masks_impl(probs_w, hw=mask_hw, pack=pack)
         return carry, prev_masks, gmap_mem, masks
 
     def _segment_spans(self, t: int) -> list[tuple[int, int]]:
@@ -418,19 +448,18 @@ class Evaluator:
             pos += c
         return spans
 
-    def _masks_impl(self, probs, *, hw):
-        """(T, h, w, O) -> (T, H, W // ppb) BIT-PACKED argmax labels.
+    def _masks_impl(self, probs, *, hw, pack):
+        """(T, h, w, O) -> (T, H, W * pack / 8) BIT-PACKED argmax labels.
 
-        One batched upsample (fast integer-factor path) + argmax, then the
-        uint8 label map is packed along W — 4 pixels/byte for the common
-        <=4-object bucket, 2 pixels/byte otherwise. Lossless: labels are
-        < O <= 16. The device->host transfer rides a ~40 MB/s tunnel and
-        was the single largest round cost (~160 ms for 16 frames of plain
-        uint8 at 480p); packing cuts it 4x/2x for one cheap elementwise op.
-        Host side unpacks with `unpack_labels`."""
+        One batched upsample (fast integer-factor path) + argmax, then
+        the uint8 label map is packed along W at `pack` bits/px —
+        selected from the sequence's LIVE label count
+        (mask_bits_for_labels: 8 px/byte for 1 object, 4 px/byte up to
+        3). The device->host transfer rides a ~10 MB/s tunnel and is the
+        round's dominant cost. Host side inverts with `unpack_labels`."""
         up = resize_bilinear(probs, hw)
         lab = jnp.argmax(up, axis=-1).astype(jnp.uint8)
-        return pack_labels(lab, self._mask_bits(probs.shape[-1]))
+        return pack_labels(lab, pack)
 
     @staticmethod
     def _mask_bits(o_bucket: int) -> int:
@@ -550,22 +579,26 @@ class Evaluator:
                 jnp.asarray(state.round_idx == 0),
                 jnp.asarray(obj_valid))
 
+        # densest lossless mask code for the LIVE label count (1 object
+        # -> 8 px/byte); one cached compile per (bucket, bit depth)
+        pk = mask_bits_for_labels(num_objects + 1)
         if cfg.eval.round_segments > 1:
             masks = self._run_round_segmented(
-                state, args, kw, annot, frame_valid, (h_pad, w_pad))
+                state, args, kw, annot, frame_valid, (h_pad, w_pad), pk)
         else:
             full_args = args[:9] + (jnp.asarray(frame_valid),)
             if stacked:
                 probs, gmap, int_mem, masks, mem_emb, mem_onehot = \
-                    self._round(*full_args, **kw, mask_hw=(h_pad, w_pad))
+                    self._round(*full_args, **kw, mask_hw=(h_pad, w_pad),
+                                pack=pk)
                 state.mem_emb, state.mem_onehot = mem_emb, mem_onehot
             else:
                 probs, gmap, int_mem, masks = self._round(
-                    *full_args, mask_hw=(h_pad, w_pad))
+                    *full_args, mask_hw=(h_pad, w_pad), pack=pk)
             state.prev_masks, state.gmap_mem = probs, gmap
             state.int_mem = int_mem
             masks = np.asarray(masks)[:state.num_frames]
-            masks = unpack_labels(masks, self._mask_bits(o_bucket))
+            masks = unpack_labels(masks, pk)
         state.round_idx += 1
         if ms > 1:
             masks = np.repeat(np.repeat(masks, ms, axis=1), ms, axis=2)
@@ -575,17 +608,16 @@ class Evaluator:
 
     def _run_round_segmented(self, state: SequenceState, args, kw,
                              annot: int, frame_valid: np.ndarray,
-                             mask_hw) -> np.ndarray:
+                             mask_hw, pk: int) -> np.ndarray:
         """Pipelined round: 1 interaction dispatch + S sweep dispatches,
         all enqueued up front (dispatch is async); the packed-mask
         downloads then drain in order, each overlapping the later
         segments' device compute. Bitwise-identical masks to the
         monolithic round (pinned by tests)."""
-        out = self._start(*args, **kw, mask_hw=mask_hw)
+        out = self._start(*args, **kw, mask_hw=mask_hw, pack=pk)
         if self.memory_mode == "stacked":
             state.mem_emb, state.mem_onehot = out["mem_emb"], out["mem_onehot"]
         t_bucket = state.feat.shape[0]
-        o_bucket = state.prev_masks.shape[-1]
         carry = out["int_probs"]
         pm, gm, im = out["prev_masks"], out["gmap_mem"], out["int_mem"]
         fv = jnp.asarray(frame_valid)
@@ -597,7 +629,8 @@ class Evaluator:
                 state.feat, state.emb, out["ref_emb"], out["ref_onehot"],
                 out.get("bucketed"), out["int_probs"], carry, pm, gm, im,
                 annot_j, ov, fv, out["head_pre_frames"],
-                out["head_mem_pre"], start=s0, count=c, mask_hw=mask_hw)
+                out["head_mem_pre"], start=s0, count=c, mask_hw=mask_hw,
+                pack=pk)
             seg_masks.append((s0, c, mk))
         state.prev_masks, state.gmap_mem, state.int_mem = pm, gm, im
 
@@ -605,17 +638,16 @@ class Evaluator:
         # multiplexes the fetch RPCs, so each fetch's fixed RTT and the
         # byte transfers overlap both each other and the later segments'
         # device compute (device_get releases the GIL)
-        bits = self._mask_bits(o_bucket)
         fetches = [self._fetch_pool.submit(np.asarray, out["annot_mask"])]
         fetches += [self._fetch_pool.submit(np.asarray, mk)
                     for _, _, mk in seg_masks]
-        lab_annot = unpack_labels(fetches[0].result(), bits)[0]
+        lab_annot = unpack_labels(fetches[0].result(), pk)[0]
         nf = state.num_frames
         labels = np.zeros((nf, *lab_annot.shape), np.uint8)
         labels[annot] = lab_annot
         fwd_len = t_bucket - 1 - annot
         for (s0, c, _), fut in zip(seg_masks, fetches[1:]):
-            lab = unpack_labels(fut.result(), bits)
+            lab = unpack_labels(fut.result(), pk)
             for j in range(c):
                 i = s0 + j
                 f = annot + 1 + i if i < fwd_len else annot - 1 - (i - fwd_len)

@@ -66,7 +66,8 @@ def main():
                              ds.num_objects(seq))
 
     host_prep, device_only, full, robot_t, unpack_t = [], [], [], [], []
-    from cvpr2020_manet_tpu.engine.evaluator import unpack_labels
+    from cvpr2020_manet_tpu.engine.evaluator import (
+        mask_bits_for_labels, unpack_labels)
     for _ in range(args.rounds):
         t0 = time.perf_counter()
         scr = robot.interact(seq, masks, gt, ds.num_objects(seq))
@@ -96,13 +97,14 @@ def main():
         ms = cfg.eval.mask_stride
         h_pad = (gt.shape[1] + ((-gt.shape[1]) % cfg.eval.pad_to)) // ms
         w_pad = (gt.shape[2] + ((-gt.shape[2]) % cfg.eval.pad_to)) // ms
+        pk = mask_bits_for_labels(ds.num_objects(seq) + 1)
         t0 = time.perf_counter()
         probs, gmap, int_mem, mk = ev._round(
             state.feat, state.emb, jnp.asarray(raster8),
             jnp.asarray(annot, jnp.int32), state.prev_masks,
             state.gmap_mem, state.int_mem, jnp.asarray(False),
             jnp.asarray(obj_valid), jnp.asarray(frame_valid),
-            mask_hw=(h_pad, w_pad))
+            mask_hw=(h_pad, w_pad), pack=pk)
         probe = np.asarray(mk[0, 0, :1])   # forces completion, ~1 B
         t1 = time.perf_counter()
         device_only.append(t1 - t0)
@@ -110,8 +112,7 @@ def main():
         t2 = time.perf_counter()
         full.append(t2 - t0)
         t0 = time.perf_counter()
-        lab = unpack_labels(mk_np[:state.num_frames],
-                            ev._mask_bits(o_bucket))
+        lab = unpack_labels(mk_np[:state.num_frames], pk)
         unpack_t.append(time.perf_counter() - t0)
         masks = lab[:, :gt.shape[1], :gt.shape[2]].astype(np.int32)
         state.prev_masks, state.gmap_mem, state.int_mem = probs, gmap, int_mem

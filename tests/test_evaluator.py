@@ -192,3 +192,17 @@ def test_segmented_round_matches_monolithic():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(results[1][2], results[5][2],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_label_count_aware_bits(rng):
+    """Bit depth follows the LIVE label count; 1-bit packing (1-object
+    sequences, half the bytes of the bucket code) round-trips."""
+    from cvpr2020_manet_tpu.engine.evaluator import (
+        mask_bits_for_labels, pack_labels)
+
+    assert [mask_bits_for_labels(k) for k in (1, 2, 3, 4, 9, 17)] == \
+        [1, 1, 2, 2, 4, 8]
+    lab = rng.integers(0, 2, size=(3, 6, 48)).astype(np.uint8)
+    packed = np.asarray(pack_labels(lab, 1))
+    assert packed.shape == (3, 6, 6)
+    np.testing.assert_array_equal(unpack_labels(packed, 1), lab)
