@@ -152,8 +152,6 @@ class Evaluator:
         # round (each dispatch pays a full RTT through the TPU tunnel)
         self._round = jax.jit(self._round_impl,
                               static_argnames=("mask_hw", "pack"))
-        self._masks = jax.jit(self._masks_impl,
-                              static_argnames=("hw", "pack"))
         # segmented round (cfg.eval.round_segments > 1): interaction
         # dispatch + S sweep dispatches; each segment's packed-mask
         # download overlaps the next segment's compute on the device
@@ -223,7 +221,7 @@ class Evaluator:
     def _round_impl(self, feat, emb, raster, annot_idx,
                     prev_masks, gmap_mem, int_mem, is_first, obj_valid,
                     frame_valid, round_idx=None, mem_emb=None,
-                    mem_onehot=None, *, mask_hw=None, pack="b2"):
+                    mem_onehot=None, *, mask_hw=None, pack=8):
         model, variables = self.model, self.variables
         t, h, w, _ = feat.shape
         o = prev_masks.shape[-1]     # object bucket of this sequence
@@ -353,7 +351,11 @@ class Evaluator:
                                            pack=pack),
             # decomposed head stage 1 (models/manet.py): the feature and
             # MA-memory conv0 contributions are round-constant — compute
-            # once here, reuse for every propagated frame
+            # once here, reuse for every propagated frame. The feature
+            # part is even SEQUENCE-constant, but caching it in
+            # SequenceState would cost a feat-sized HBM buffer (~0.7 GB
+            # bf16 at the 104-frame bucket) to save a ~2-4 ms conv that
+            # runs under the mask transfers — recompute per round instead
             "head_pre_frames": model.apply(
                 variables, feat, method=model.head_feat_contrib),
             "head_mem_pre": model.apply(
@@ -580,8 +582,13 @@ class Evaluator:
                 jnp.asarray(obj_valid))
 
         # densest lossless mask code for the LIVE label count (1 object
-        # -> 8 px/byte); one cached compile per (bucket, bit depth)
+        # -> 8 px/byte); one cached compile per (bucket, bit depth).
+        # Widen until the packed W axis is whole-byte aligned (the strided
+        # pack slices need W % (8/bits) == 0; e.g. width 848 at
+        # mask_stride 4 cannot take the 1-bit code).
         pk = mask_bits_for_labels(num_objects + 1)
+        while w_pad % (8 // pk):
+            pk *= 2
         if cfg.eval.round_segments > 1:
             masks = self._run_round_segmented(
                 state, args, kw, annot, frame_valid, (h_pad, w_pad), pk)

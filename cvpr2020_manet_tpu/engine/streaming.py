@@ -95,10 +95,18 @@ class StreamingIVOS:
         o = mem_onehot.shape[-1]
         if image.dtype == jnp.uint8:
             # uint8 ingest + device-side normalize: a float32 1080p frame
-            # is 25 MB over the host link, uint8 is 6
+            # is 25 MB over the host link, uint8 is 6. Re-zero the padded
+            # border AFTER normalization so both ingest paths feed the
+            # encoder identical (zero = ImageNet-mean) padding — raw zero
+            # bytes would normalize to ~-2.1 sigma "black".
             from cvpr2020_manet_tpu.engine.propagate_batch import (
                 preprocess_frames)
             image = preprocess_frames(image)
+            h_img, w_img = self.cfg.eval.image_size
+            if h_img < self.hp:
+                image = image.at[h_img:, :, :].set(0.0)
+            if w_img < self.wp:
+                image = image.at[:, w_img:, :].set(0.0)
         feat, emb = model.apply(variables, image[None],
                                 method=model.extract_features)
         f_t, e_t = feat[0], emb[0]

@@ -186,7 +186,8 @@ def make_train_step(model: MANet, cfg: Config):
 class Trainer:
     """Mesh-sharded stage-1 trainer (DP over the 'data' axis)."""
 
-    def __init__(self, cfg: Config, mesh=None, seed: int | None = None):
+    def __init__(self, cfg: Config, mesh=None, seed: int | None = None,
+                 matching_backend: str = "auto"):
         self.cfg = cfg
         if mesh is None:
             # data axis = largest device count that divides the batch
@@ -196,8 +197,11 @@ class Trainer:
             mesh = create_mesh(data=data, context=1)
         self.mesh = mesh
         # "auto": jnp oracle on CPU, the custom-VJP Pallas kernels on TPU —
-        # training exercises the same kernels the eval path ships
-        self.model = MANet(cfg.model, matching_backend="auto",
+        # training exercises the same kernels the eval path ships. Pass
+        # matching_backend="jnp" explicitly when the resolved default
+        # backend does not match the mesh's devices (e.g. a CPU-mesh dry
+        # run in a process whose default backend is the TPU).
+        self.model = MANet(cfg.model, matching_backend=matching_backend,
                            trainable_matching=True)
         h, w = cfg.train.crop_size
         o = cfg.model.max_objects + 1

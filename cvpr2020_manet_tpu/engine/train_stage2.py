@@ -226,7 +226,8 @@ class Stage2Trainer:
     """Mesh-sharded stage-2 trainer. Initialize from stage-1 params via
     `trainer.state = trainer.state.replace(params=stage1_params)`."""
 
-    def __init__(self, cfg: Config, mesh=None, seed: int | None = None):
+    def __init__(self, cfg: Config, mesh=None, seed: int | None = None,
+                 matching_backend: str = "auto"):
         self.cfg = cfg
         if mesh is None:
             n = len(jax.devices())
@@ -235,7 +236,7 @@ class Stage2Trainer:
             mesh = create_mesh(data=data, context=1)
         self.mesh = mesh
         # "auto": jnp oracle on CPU, the custom-VJP Pallas kernels on TPU
-        self.model = MANet(cfg.model, matching_backend="auto",
+        self.model = MANet(cfg.model, matching_backend=matching_backend,
                            trainable_matching=True)
         h, w = cfg.train.crop_size
         o = cfg.model.max_objects + 1
