@@ -206,3 +206,38 @@ def test_label_count_aware_bits(rng):
     packed = np.asarray(pack_labels(lab, 1))
     assert packed.shape == (3, 6, 6)
     np.testing.assert_array_equal(unpack_labels(packed, 1), lab)
+
+
+def test_one_object_sequence_1bit_masks_and_stride_widening():
+    """A 1-object sequence ships 1-bit masks; when the packed W axis can't
+    take the depth (mask_stride=4 -> w_pad=12, not byte-group aligned for
+    1-bit), run_round widens the code instead of crashing. Masks must be
+    identical to the exact full-res path up to the documented stride-band
+    approximation — here we only require the round to run and produce
+    sane labels."""
+    import dataclasses
+
+    import jax
+
+    base = tiny_test_config()
+    ds = SyntheticDataset(image_size=base.eval.image_size,
+                          num_frames=base.eval.max_frames,
+                          num_sequences=1, num_objects=1, scribble_sets=1)
+    seq = ds.sequences()[0]
+    gt = ds.gt_masks(seq)
+    model = MANet(base.model, matching_backend="jnp")
+    h, w = base.eval.image_size
+    o = base.model.max_objects + 1
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)),
+        jnp.zeros((1, h // 4, w // 4, o)), jnp.zeros((1, h // 4, w // 4, o)))
+    scr = ds.initial_scribbles(seq, 0).to_json()
+
+    for stride in (1, 4):
+        cfg = dataclasses.replace(
+            base, eval=dataclasses.replace(base.eval, mask_stride=stride))
+        ev = Evaluator(cfg, model, variables)
+        state = ev.start_sequence(ds.images(seq), ds.num_objects(seq))
+        masks = ev.run_round(state, scr, gt.shape[1:], ds.num_objects(seq))
+        assert masks.shape == gt.shape
+        assert masks.min() >= 0 and masks.max() <= 1
