@@ -144,3 +144,26 @@ def test_davisinteractive_compat_constructor():
 
     with pytest.raises(ValueError, match="davis_root"):
         DavisInteractiveSession()
+
+
+def test_global_summary_curve_math():
+    """AUC/J&F@t semantics pinned on a hand-built report: quality at time
+    t is the J&F of the LAST interaction whose cumulative time <= t (0
+    before the first), averaged over items, integrated over [0, T]."""
+    ds = SyntheticDataset(num_sequences=1, scribble_sets=1, num_frames=2)
+    session = InteractiveSession(ds, max_interactions=2)
+    # hand-written rows: one sequence, one set, two interactions
+    # interaction 0 lands at t=2 with J&F 0.5; interaction 1 at t=6, 0.9
+    for inter, t, jf in ((0, 2.0, 0.5), (1, 6.0, 0.9)):
+        for frame in range(2):
+            session._rows.append(dict(
+                sequence="synth_00", scribble_idx=0, interaction=inter,
+                object_id=1, frame=frame, jaccard=jf, contour=jf, timing=t))
+    s = session.get_global_summary(max_time=10.0, at_threshold=4.0)
+    # curve: 0 on [0,2), 0.5 on [2,6), 0.9 on [6,10]
+    # integral = 0*2 + 0.5*4 + 0.9*4 = 5.6 -> AUC = 0.56
+    assert abs(s["auc"] - 0.56) < 0.01
+    assert abs(s["metric_at_threshold"] - 0.5) < 1e-6
+    # before any interaction completes, quality is 0
+    grid, curve = s["curve"]
+    assert curve[0] == 0.0
