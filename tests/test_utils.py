@@ -61,3 +61,23 @@ def test_checkpoint_roundtrip(tmp_path):
                        str(tmp_path / "release"))
     np.testing.assert_array_equal(np.asarray(rel["head"]["b"]),
                                   np.ones((2, 2)))
+
+
+def test_metric_logger_stdout_and_tensorboard(tmp_path, capsys):
+    """MetricLogger: stdout fallback without a log_dir; clu TensorBoard
+    event files when one is given (SURVEY.md §6 metrics/logging row)."""
+    from cvpr2020_manet_tpu.utils.logging import MetricLogger
+
+    lg = MetricLogger(None)
+    lg.write(3, {"loss": 1.25, "lr": 0.5})
+    lg.flush()
+    out = capsys.readouterr().out
+    assert "step 3" in out and "loss=1.2500" in out
+
+    d = tmp_path / "tb"
+    lg2 = MetricLogger(str(d))
+    lg2.write(1, {"loss": 0.5})
+    lg2.flush()
+    if lg2._writer is not None:      # clu available in this environment
+        files = list(d.rglob("*"))
+        assert files, "writer created no event files"
