@@ -20,6 +20,7 @@ TPU-native design decisions:
 
 from __future__ import annotations
 
+import concurrent.futures
 import dataclasses
 import time
 from typing import Any, Dict
@@ -33,6 +34,14 @@ from cvpr2020_manet_tpu.interactive.scribbles import (
     annotated_frames, scribbles2mask)
 from cvpr2020_manet_tpu.models.layers import resize_bilinear
 from cvpr2020_manet_tpu.models.manet import MANet
+
+# Shared download pool (threads created lazily on first submit). One
+# process-wide pool instead of one per Evaluator/BatchPropagator instance:
+# instances are cheap to create (tests, per-config sweeps) and would each
+# leak 4 never-shutdown threads. 4 workers: enough to multiplex the
+# tunnel's fixed per-fetch RTT without oversubscribing the link.
+_FETCH_POOL = concurrent.futures.ThreadPoolExecutor(
+    max_workers=4, thread_name_prefix="mask-fetch")
 
 
 def pad_image_to(x: np.ndarray, multiple: int) -> np.ndarray:
@@ -125,7 +134,7 @@ class Evaluator:
     """Runs a model against an `InteractiveSession`."""
 
     def __init__(self, cfg: Config, model: MANet, variables,
-                 ablate_memory: bool = False):
+                 ablate_memory: bool = False, cp_mesh=None):
         self.cfg = cfg
         self.model = model
         self.variables = variables
@@ -142,11 +151,23 @@ class Evaluator:
             backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
         # Pallas path: bucket the reference pixels ONCE per round
         # (ops/matching_pallas.prepare_ref), stream the kernel per frame.
-        self.use_pallas = backend == "pallas"
+        # "pallas_interpret" runs the same code path through the Pallas
+        # interpreter (CPU-runnable parity tests of the production branch).
+        self.use_pallas = backend.startswith("pallas")
+        self._interpret = backend == "pallas_interpret"
         # "min_fused" (MANet semantics: per-frame elementwise-min memory,
         # SURVEY.md C8) or "stacked" (literal attention over ALL stored
         # rounds' annotated pixels — BASELINE config 3/5).
         self.memory_mode = cfg.eval.matching_memory
+        # Context-parallel eval (SURVEY.md §3.3 SP/CP): when a mesh with a
+        # 'context' axis is given, the matching-memory rows shard over it
+        # and each device matches its shard (on the selected backend — the
+        # production Pallas kernel on TPU), combined with an
+        # all-gather-min over ICI (parallel/cp_matching.py). Pairs with
+        # matching_memory="stacked", where memory rows grow with rounds.
+        self.cp_mesh = cp_mesh
+        self._cp_backend = ("pallas_interpret" if self._interpret
+                            else "pallas" if self.use_pallas else "jnp")
         self._extract = jax.jit(self._extract_impl)
         # masks fused into the round: ONE device dispatch per interaction
         # round (each dispatch pays a full RTT through the TPU tunnel)
@@ -160,9 +181,7 @@ class Evaluator:
         self._sweep = jax.jit(self._sweep_impl,
                               static_argnames=("start", "count", "mask_hw",
                                                "pack"))
-        import concurrent.futures
-        self._fetch_pool = concurrent.futures.ThreadPoolExecutor(
-            max_workers=4, thread_name_prefix="mask-fetch")
+        self._fetch_pool = _FETCH_POOL
         self.round_latencies: list[float] = []
 
     # ---------------- jitted graphs ----------------------------------- #
@@ -257,7 +276,18 @@ class Evaluator:
         emb_ordered = jnp.take(emb, frame, axis=0)
 
         gm_pre = None
-        if self.use_pallas:
+        if self.cp_mesh is not None:
+            # context-parallel matching: memory rows sharded over the
+            # 'context' mesh axis, per-shard matching on self._cp_backend,
+            # all-gather-min combine (parallel/cp_matching.py)
+            from cvpr2020_manet_tpu.parallel.cp_matching import (
+                context_parallel_matching)
+            ce = emb.shape[-1]
+            gm_pre = context_parallel_matching(
+                emb_ordered.reshape(-1, ce), ref_emb, ref_onehot,
+                jnp.ones((ref_emb.shape[0],), jnp.float32), self.cp_mesh,
+                backend=self._cp_backend).reshape(t - 1, h, w, o)
+        elif self.use_pallas:
             # global matching is carry-independent: ALL frames go through
             # the Pallas kernel in ONE batched call (better pipelining
             # than t-1 small launches inside the scan)
@@ -266,7 +296,8 @@ class Evaluator:
             bucketed = prepare_ref(ref_emb, ref_onehot)
             ce = emb.shape[-1]
             gm_pre = global_matching_prepared(
-                emb_ordered.reshape(-1, ce), bucketed
+                emb_ordered.reshape(-1, ce), bucketed,
+                interpret=self._interpret
             ).reshape(t - 1, h, w, o)
 
         # decomposed head stage 1 (models/manet.py): round-constant conv0
@@ -361,7 +392,9 @@ class Evaluator:
             "head_mem_pre": model.apply(
                 variables, int_mem, method=model.head_mem_contrib),
         }
-        if self.use_pallas:
+        if self.use_pallas and self.cp_mesh is None:
+            # CP mode does not pre-bucket: each shard buckets its own rows
+            # inside global_matching_pallas per sweep call
             from cvpr2020_manet_tpu.ops.matching_pallas import prepare_ref
             out["bucketed"] = prepare_ref(ref_emb, ref_onehot)
         if self.memory_mode == "stacked":
@@ -393,12 +426,21 @@ class Evaluator:
         g_taken = jnp.take(gmap_mem, frame, axis=0)
 
         gm_pre = None
-        if self.use_pallas:
+        if self.cp_mesh is not None:
+            from cvpr2020_manet_tpu.parallel.cp_matching import (
+                context_parallel_matching)
+            ce = emb.shape[-1]
+            gm_pre = context_parallel_matching(
+                emb_ordered.reshape(-1, ce), ref_emb, ref_onehot,
+                jnp.ones((ref_emb.shape[0],), jnp.float32), self.cp_mesh,
+                backend=self._cp_backend).reshape(count, h, w, o)
+        elif self.use_pallas:
             from cvpr2020_manet_tpu.ops.matching_pallas import (
                 global_matching_prepared)
             ce = emb.shape[-1]
             gm_pre = global_matching_prepared(
-                emb_ordered.reshape(-1, ce), bucketed
+                emb_ordered.reshape(-1, ce), bucketed,
+                interpret=self._interpret
             ).reshape(count, h, w, o)
 
         def step(c, xs):
@@ -441,13 +483,19 @@ class Evaluator:
         earlier segments' transfers."""
         n = t - 1
         s = max(1, min(self.cfg.eval.round_segments, n))
-        x = max(1, round(n / (2 ** s - 1)))
-        spans, pos = [], 0
+        # cumulative rounding against the ideal geometric split keeps the
+        # LAST span the largest even when the series doesn't divide n (the
+        # old per-span cap could collapse the final span to 1 step, putting
+        # the smallest dispatch where the most overlap budget is)
+        total = (1 << s) - 1
+        spans, pos, cum = [], 0, 0
         for i in range(s):
-            c = x * (2 ** i) if i < s - 1 else n - pos
-            c = max(1, min(c, n - pos - (s - 1 - i)))  # leave >=1 per rest
-            spans.append((pos, c))
-            pos += c
+            cum += 1 << i
+            end = n if i == s - 1 else min(
+                max(round(n * cum / total), pos + 1),  # >=1 per span
+                n - (s - 1 - i))                       # leave >=1 per rest
+            spans.append((pos, end - pos))
+            pos = end
         return spans
 
     def _masks_impl(self, probs, *, hw, pack):

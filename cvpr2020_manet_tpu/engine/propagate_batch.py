@@ -6,9 +6,12 @@ jitted graph — preprocessing (uint8 -> normalize), feature extraction,
 frame-0 interaction seeding, and the temporal scan are all device-side;
 the host supplies raw frames and receives label maps.
 
-This is the batch-throughput counterpart of the interactive evaluator: the
-same model methods, vmapped over the sequence axis, scanned over time —
-XLA turns the per-frame matching into B parallel Pallas kernel launches.
+This is the batch-throughput counterpart of the interactive evaluator:
+two small jitted graphs (chunked feature extraction; one per-sequence
+seed + temporal-scan + pack graph) glued by a host pipeline — sequences
+dispatch back-to-back and their packed-mask downloads drain concurrently,
+overlapping the later sequences' compute (see BatchPropagator docstring
+for why vmap over sequences is not an option).
 """
 
 from __future__ import annotations
@@ -50,9 +53,8 @@ class BatchPropagator:
         self.o = cfg.model.max_objects + 1
         self._extract = jax.jit(self._extract_impl)
         self._one_seq = jax.jit(self._one_seq_impl)
-        import concurrent.futures
-        self._fetch_pool = concurrent.futures.ThreadPoolExecutor(
-            max_workers=4, thread_name_prefix="batch-mask-fetch")
+        from cvpr2020_manet_tpu.engine.evaluator import _FETCH_POOL
+        self._fetch_pool = _FETCH_POOL
 
     def _extract_impl(self, frames_u8):
         """(N, H, W, 3) uint8 -> (features, embeddings)."""

@@ -11,12 +11,11 @@ longest path. The same semantics — "a polyline along the SPINE of the
 largest error region, safely inside it" — run in the native C++ kernel
 (native/robot.cpp: exact-EDT proportional shrink + Zhang-Suen thinning +
 double-BFS skeleton diameter, O(HW), ~10 ms at 480p vs ~20 s for the
-pure-Python round-1 version). Fallback without a compiler: SciPy EDT
-shrink + double-BFS geodesic diameter over the region itself (corner-to-
-corner rather than spine paths — an approximation; tests pin the spine
-behavior only when the native kernel is available). Both paths are pinned
-by tests: scribbles lie inside the error region, are long enough, and
-label the correct object.
+pure-Python round-1 version). The compiler-free fallback implements the
+SAME pipeline in numpy/SciPy (vectorized Zhang-Suen), so both paths
+produce identical skeleton-spine scribbles — pinned by tests
+parametrized over native/fallback: paths match, lie inside the error
+region, are long enough, and label the correct object.
 """
 
 from __future__ import annotations
@@ -78,6 +77,41 @@ def _diameter_path(component: np.ndarray) -> List[tuple[int, int]]:
     while path[-1] != a:
         path.append(parents[path[-1]])
     return path
+
+
+def _zhang_suen_thin(img: np.ndarray) -> np.ndarray:
+    """Zhang-Suen (1984) thinning, vectorized numpy. (H, W) bool -> bool.
+
+    Same semantics as native/robot.cpp `thin_zhang_suen`: two simultaneous-
+    deletion subiterations per sweep, repeated until stable — preserves
+    8-connectivity, leaves a 1-px-wide skeleton. The vectorized form reads
+    the image state from the START of each subiteration (exactly the
+    C++ collect-then-delete behavior), so both paths produce identical
+    skeletons."""
+    img = img.astype(np.uint8)
+    changed = True
+    while changed:
+        changed = False
+        for step in (0, 1):
+            p = np.pad(img, 1)
+            # neighbors clockwise from north: p2..p9
+            p2 = p[:-2, 1:-1]; p3 = p[:-2, 2:]; p4 = p[1:-1, 2:]
+            p5 = p[2:, 2:]; p6 = p[2:, 1:-1]; p7 = p[2:, :-2]
+            p8 = p[1:-1, :-2]; p9 = p[:-2, :-2]
+            ring = (p2, p3, p4, p5, p6, p7, p8, p9)
+            b = sum(n.astype(np.int32) for n in ring)
+            seq = ring + (p2,)
+            a = sum(((seq[i] == 0) & (seq[i + 1] == 1)).astype(np.int32)
+                    for i in range(8))
+            cond = (img == 1) & (b >= 2) & (b <= 6) & (a == 1)
+            if step == 0:
+                cond &= (p2 * p4 * p6 == 0) & (p4 * p6 * p8 == 0)
+            else:
+                cond &= (p2 * p4 * p8 == 0) & (p2 * p6 * p8 == 0)
+            if cond.any():
+                img[cond] = 0
+                changed = True
+    return img.astype(bool)
 
 
 class InteractiveScribblesRobot:
@@ -161,30 +195,40 @@ class InteractiveScribblesRobot:
 
     def _spine_path_fallback(self, err: np.ndarray) \
             -> Optional[List[tuple[int, int]]]:
-        """Pure-Python approximation (no compiler): EDT proportional
-        shrink, then double-BFS geodesic diameter over the region."""
+        """Pure-Python skeleton spine (no compiler needed) — SAME
+        semantics as native/robot.cpp `scribble_path`, step for step:
+        largest component -> exact-EDT proportional shrink -> Zhang-Suen
+        thinning -> double-BFS skeleton diameter (falling back to the
+        pre-thin region's diameter for compact blobs that thin to fewer
+        than min_path_nodes pixels)."""
         p = self.params
         labels, n = ndimage.label(err, structure=np.ones((3, 3)))
         if n == 0:
             return None
         sizes = ndimage.sum_labels(err, labels, index=np.arange(1, n + 1))
         comp = labels == (1 + int(np.argmax(sizes)))
-        if comp.sum() < p.min_region_pixels:
+        area = int(comp.sum())
+        if area < p.min_region_pixels:
             return None
         # disk erosion == EDT-to-background thresholding (pad replicates
         # scipy border_value=0), ~100x faster than a structuring element
         # proportional to region size
-        radius = max(1, int(p.kernel_size * np.sqrt(comp.sum())))
+        radius = max(1.0, p.kernel_size * np.sqrt(area))
         d = ndimage.distance_transform_edt(np.pad(comp, 1))[1:-1, 1:-1]
         region = comp & (d > radius)
-        if region.sum() < p.min_path_nodes:
+        if region.sum() < 3:
             region = comp
-        labels2, n2 = ndimage.label(region, structure=np.ones((3, 3)))
-        if n2 > 1:
-            sizes2 = ndimage.sum_labels(
-                region, labels2, index=np.arange(1, n2 + 1))
-            region = labels2 == (1 + int(np.argmax(sizes2)))
-        path = _diameter_path(region)
+        else:
+            labels2, n2 = ndimage.label(region, structure=np.ones((3, 3)))
+            if n2 > 1:
+                sizes2 = ndimage.sum_labels(
+                    region, labels2, index=np.arange(1, n2 + 1))
+                region = labels2 == (1 + int(np.argmax(sizes2)))
+        pre_thin = region
+        skel = _zhang_suen_thin(region)
+        path = _diameter_path(skel) if skel.any() else []
+        if len(path) < p.min_path_nodes:
+            path = _diameter_path(pre_thin)
         if len(path) < p.min_path_nodes:
             return None
         return path

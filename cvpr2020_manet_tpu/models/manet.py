@@ -46,7 +46,10 @@ def _unfold_logits(logits: jax.Array) -> jax.Array:
 
 class MANet(nn.Module):
     cfg: ModelConfig
-    matching_backend: str = "auto"   # "auto" | "jnp" | "pallas"
+    # "auto" | "jnp" | "pallas" | "pallas_interpret" (the Pallas kernels
+    # run in interpreter mode — CPU-runnable parity tests of the
+    # production TPU code path)
+    matching_backend: str = "auto"
     # Training through the matching on the pallas backend: use the
     # custom-VJP argmin-routed kernels (ops/matching_pallas.
     # global_matching_trainable, ops/local_matching_pallas.
@@ -253,8 +256,10 @@ class MANet(nn.Module):
         return backend
 
     def _global_matching(self, query, ref_emb, ref_onehot, ref_valid):
-        if self._backend() == "pallas":
-            if self.trainable_matching:
+        backend = self._backend()
+        if backend.startswith("pallas"):
+            interp = backend == "pallas_interpret"
+            if self.trainable_matching and not interp:
                 from cvpr2020_manet_tpu.ops.matching_pallas import (
                     global_matching_trainable)
                 gate = ref_onehot
@@ -263,12 +268,15 @@ class MANet(nn.Module):
                 return global_matching_trainable(query, ref_emb, gate)
             from cvpr2020_manet_tpu.ops.matching_pallas import (
                 global_matching_pallas)
-            return global_matching_pallas(query, ref_emb, ref_onehot, ref_valid)
+            return global_matching_pallas(query, ref_emb, ref_onehot,
+                                          ref_valid, interpret=interp)
         return M.global_matching(query, ref_emb, ref_onehot, ref_valid)
 
     def _local_matching(self, query, prev, prev_onehot):
-        if self._backend() == "pallas":
-            if self.trainable_matching:
+        backend = self._backend()
+        if backend.startswith("pallas"):
+            interp = backend == "pallas_interpret"
+            if self.trainable_matching and not interp:
                 from cvpr2020_manet_tpu.ops.local_matching_pallas import (
                     local_matching_trainable)
                 return local_matching_trainable(query, prev, prev_onehot,
@@ -276,6 +284,7 @@ class MANet(nn.Module):
             from cvpr2020_manet_tpu.ops.local_matching_pallas import (
                 local_matching_pallas)
             return local_matching_pallas(query, prev, prev_onehot,
-                                         window=self.cfg.local_window)
+                                         window=self.cfg.local_window,
+                                         interpret=interp)
         return M.local_matching(query, prev, prev_onehot,
                                 window=self.cfg.local_window)

@@ -9,8 +9,16 @@ an all-reduce-min that rides ICI. This is the scaling story for unbounded
 memory growth / 1080p streaming (BASELINE config 5): memory capacity and
 matching FLOPs both scale linearly with the context axis.
 
-`shard_min_combine` is differentiable (all_gather + min), so the same
-path serves CP *training* through the hard min, matching the reference's
+Backend composition: each shard's matching runs on the selected backend —
+the jnp oracle or the production Pallas kernel (ops/matching_pallas) —
+so CP composes with the kernel that actually ships on TPU. The combine
+is exact on NORMALIZED distances: `normalize_distance` is monotone
+non-decreasing, so min-of-normalized == normalize-of-min elementwise, and
+the Pallas kernel (which normalizes at finalize) needs no un-normalized
+escape hatch.
+
+Differentiability: all_gather + min is differentiable, so the same path
+serves CP *training* through the hard min, matching the reference's
 train-through-min semantics (SURVEY.md §8 hard parts).
 """
 
@@ -26,20 +34,31 @@ from jax import shard_map
 from cvpr2020_manet_tpu.ops import matching as M
 
 
-def local_then_min(query, ref_shard, onehot_shard, valid_shard, axis_name):
+def _shard_matching(query, ref, onehot, valid, backend: str):
+    """One shard's per-object min-distance maps, NORMALIZED. (Nq, O)."""
+    if backend == "jnp":
+        return M.global_matching(query, ref, onehot, valid)
+    from cvpr2020_manet_tpu.ops.matching_pallas import global_matching_pallas
+    return global_matching_pallas(
+        query, ref, onehot, valid,
+        interpret=(backend == "pallas_interpret"))
+
+
+def local_then_min(query, ref_shard, onehot_shard, valid_shard, axis_name,
+                   backend: str = "jnp"):
     """Per-shard matching + cross-shard min. Call INSIDE shard_map/pmap.
 
     query (Nq, C) replicated; ref/onehot/valid sharded on pixel axis.
     Returns (Nq, O) — identical on every member of `axis_name`.
     """
-    local = M.global_matching(query, ref_shard, onehot_shard, valid_shard,
-                              normalize=False)
+    local = _shard_matching(query, ref_shard, onehot_shard, valid_shard,
+                            backend)
     gathered = jax.lax.all_gather(local, axis_name)      # (ctx, Nq, O)
-    return M.normalize_distance(jnp.min(gathered, axis=0))
+    return jnp.min(gathered, axis=0)
 
 
 def ring_local_then_min(query, ref_shard, onehot_shard, valid_shard,
-                        axis_name):
+                        axis_name, backend: str = "jnp"):
     """Ring-schedule variant (SURVEY.md §3.3 'ring attention' row): instead
     of one all-gather of partial results, the memory SHARDS rotate around
     the ring (lax.ppermute) while each device folds a running min —
@@ -53,7 +72,7 @@ def ring_local_then_min(query, ref_shard, onehot_shard, valid_shard,
 
     def body(i, carry):
         ref, oh, valid, dmin = carry
-        d = M.global_matching(query, ref, oh, valid, normalize=False)
+        d = _shard_matching(query, ref, oh, valid, backend)
         dmin = jnp.minimum(dmin, d)
         ref = jax.lax.ppermute(ref, axis_name, perm)
         oh = jax.lax.ppermute(oh, axis_name, perm)
@@ -61,11 +80,11 @@ def ring_local_then_min(query, ref_shard, onehot_shard, valid_shard,
         return ref, oh, valid, dmin
 
     o = onehot_shard.shape[1]
+    # running min folds in NORMALIZED space: empty/invalid saturate at 1.0
     init = (ref_shard, onehot_shard, valid_shard.astype(jnp.float32),
-            jnp.full((query.shape[0], o), M.WRONG_LABEL_PADDING_DISTANCE,
-                     jnp.float32))
+            jnp.ones((query.shape[0], o), jnp.float32))
     *_, dmin = jax.lax.fori_loop(0, n, body, init)
-    return M.normalize_distance(dmin)
+    return dmin
 
 
 def context_parallel_matching(
@@ -76,11 +95,17 @@ def context_parallel_matching(
     mesh: Mesh,
     axis_name: str = "context",
     schedule: str = "allgather",     # "allgather" | "ring"
+    backend: str = "jnp",            # "jnp" | "pallas" | "pallas_interpret"
 ) -> jax.Array:
-    """Standalone CP matching over `mesh[axis_name]` (for eval / tests)."""
+    """Standalone CP matching over `mesh[axis_name]` (eval / tests).
+
+    `backend` selects the per-shard matching implementation — pass
+    "pallas" on a TPU mesh so the CP path exercises the production kernel
+    (each shard buckets its own rows via prepare_ref inside the call).
+    """
     impl = local_then_min if schedule == "allgather" else ring_local_then_min
     fn = shard_map(
-        functools.partial(impl, axis_name=axis_name),
+        functools.partial(impl, axis_name=axis_name, backend=backend),
         mesh=mesh,
         in_specs=(P(), P(axis_name), P(axis_name), P(axis_name)),
         out_specs=P(),

@@ -141,10 +141,19 @@ def test_round_masks_shape_and_labels(eval_setup):
     assert state.gmap_mem.min() < 1.0
 
 
-def test_segmented_round_matches_monolithic():
+@pytest.mark.parametrize("memory_mode,backend", [
+    ("min_fused", "jnp"),
+    ("stacked", "jnp"),
+    # the production TPU branch (_start_impl bucketed prepare_ref +
+    # _sweep_impl global_matching_prepared), via the Pallas interpreter
+    ("min_fused", "pallas_interpret"),
+    ("stacked", "pallas_interpret"),
+])
+def test_segmented_round_matches_monolithic(memory_mode, backend):
     """cfg.eval.round_segments pipelines downloads against compute; the
     segmented round must produce EXACTLY the monolithic round's masks and
-    carry identical device state across rounds."""
+    carry identical device state across rounds — on every combination of
+    matching-memory mode and matching backend that ships."""
     import dataclasses
 
     import jax
@@ -156,12 +165,15 @@ def test_segmented_round_matches_monolithic():
     from cvpr2020_manet_tpu.models import MANet
 
     base = tiny_test_config()
+    base = dataclasses.replace(
+        base, eval=dataclasses.replace(base.eval,
+                                       matching_memory=memory_mode))
     ds = SyntheticDataset(image_size=base.eval.image_size,
                           num_frames=base.eval.max_frames,
                           num_sequences=1, num_objects=2, scribble_sets=1)
     seq = ds.sequences()[0]
     gt = ds.gt_masks(seq)
-    model = MANet(base.model, matching_backend="jnp")
+    model = MANet(base.model, matching_backend=backend)
     h, w = base.eval.image_size
     hp, wp = h + (-h) % base.eval.pad_to, w + (-w) % base.eval.pad_to
     o = base.model.max_objects + 1
