@@ -22,18 +22,26 @@ synchronize with device completion; every timed section ends with a
 device->host transfer (np.asarray), which does.
 """
 
+import argparse
 import json
 import time
 
 import numpy as np
 
 REF_GPU_PROP_FPS = 20.0
-FRAMES = 16          # frames per synthetic 480p sequence
+FRAMES = 16          # frames per synthetic 480p sequence (driver default;
+                     # --frames 64 measures the realistic DAVIS bucket —
+                     # docs/BENCHMARKS.md records both)
 WARMUP = 2           # untimed rounds (compile + steady-state dispatch)
 ROUNDS = 8           # timed rounds; metric = median (tunnel RTT jitters)
 
 
-def main():
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=FRAMES)
+    p.add_argument("--rounds", type=int, default=ROUNDS)
+    args = p.parse_args(argv)
+    frames, rounds = args.frames, args.rounds
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
@@ -45,11 +53,11 @@ def main():
     from cvpr2020_manet_tpu.interactive.robot import InteractiveScribblesRobot
     from cvpr2020_manet_tpu.models import MANet
 
-    cfg = Config(eval=EvalConfig(max_frames=FRAMES))
+    cfg = Config(eval=EvalConfig(max_frames=frames))
     h, w = cfg.eval.image_size
     o = cfg.model.max_objects + 1
 
-    ds = SyntheticDataset(image_size=(h, w), num_frames=FRAMES,
+    ds = SyntheticDataset(image_size=(h, w), num_frames=frames,
                           num_sequences=1, num_objects=2, scribble_sets=1)
     seq = ds.sequences()[0]
     gt = ds.gt_masks(seq)
@@ -80,18 +88,19 @@ def main():
                                     ds.num_objects(seq))
     evaluator.round_latencies.clear()
 
-    for _ in range(ROUNDS):
+    for _ in range(rounds):
         scr = robot.interact(seq, masks, gt, ds.num_objects(seq))
         masks = evaluator.run_round(state, scr.to_json(), gt.shape[1:],
                                     ds.num_objects(seq))
 
     p50 = float(np.median(evaluator.round_latencies))
-    fps = FRAMES / p50
+    fps = frames / p50
     print(json.dumps({
         "metric": "propagation_fps_per_chip_480p",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / REF_GPU_PROP_FPS, 2),
+        "frames": frames,
     }))
 
 

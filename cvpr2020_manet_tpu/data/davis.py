@@ -142,6 +142,9 @@ class DavisTrainDataset:
         """One (ref, prev, cur) clip with remapped compact object ids.
 
         Pass `rng` for deterministic per-index sampling (grain pipeline).
+        Sequences shorter than clip_len are padded by repeating the last
+        frame; `frame_valid` marks the real frames (padded frames must not
+        contribute loss — the trainers pass it to bootstrapped CE).
         """
         if rng is None:
             rng = self._rng
@@ -151,11 +154,18 @@ class DavisTrainDataset:
         gt = self.eval_ds.gt_masks(seq)
         raw = self.eval_ds.images(seq)
         t = gt.shape[0]
-        # reference frame + a consecutive (prev, cur) pair elsewhere
-        ref = int(rng.integers(t))
-        cur = int(rng.integers(1, t))
-        idx = [ref, cur - 1, cur][:self.clip_len] if self.clip_len == 3 \
-            else sorted(rng.choice(t, self.clip_len, replace=False))
+        frame_valid = np.ones((self.clip_len,), np.float32)
+        if self.clip_len == 3 and t >= 2:
+            # reference frame + a consecutive (prev, cur) pair elsewhere
+            # (all three entries are real frames — triplet semantics)
+            ref = int(rng.integers(t))
+            cur = int(rng.integers(1, t))
+            idx = [ref, cur - 1, cur]
+        else:
+            n_real = min(t, self.clip_len)
+            idx = sorted(rng.choice(t, n_real, replace=False))
+            idx = list(idx) + [idx[-1]] * (self.clip_len - n_real)
+            frame_valid[n_real:] = 0.0
         images, labels = self._augment(raw[idx], gt[idx], rng)
         # compact remap of object ids present in the clip, capped at O
         present = np.unique(labels)
@@ -167,7 +177,7 @@ class DavisTrainDataset:
         obj_valid = np.zeros((o_max + 1,), np.float32)
         obj_valid[:len(present) + 1] = 1.0
         return {"images": images.astype(np.float32), "labels": labels,
-                "obj_valid": obj_valid}
+                "obj_valid": obj_valid, "frame_valid": frame_valid}
 
     def batch(self, batch_size: int) -> Dict[str, np.ndarray]:
         samples = [self.sample_clip() for _ in range(batch_size)]

@@ -22,16 +22,18 @@ def make_train_iterator(
     root: str,
     cfg: Config,
     *,
+    clip_len: int = 3,
     num_workers: int = 4,
     virtual_epoch: int = 100_000,
     seed: int = 0,
     shard_index: int = 0,
     shard_count: int = 1,
 ) -> Iterator[dict]:
-    """Infinite iterator of {'images','labels','obj_valid'} batches."""
+    """Infinite iterator of {'images','labels','obj_valid','frame_valid'}
+    batches. `clip_len` > 3 samples stage-2-style clips."""
     import grain.python as grain
 
-    ds = DavisTrainDataset(root, cfg, seed=seed)
+    ds = DavisTrainDataset(root, cfg, clip_len=clip_len, seed=seed)
     batch = cfg.train.batch_size
 
     def sample(i: int) -> dict:

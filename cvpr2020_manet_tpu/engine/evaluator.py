@@ -172,12 +172,14 @@ class Evaluator:
         # masks fused into the round: ONE device dispatch per interaction
         # round (each dispatch pays a full RTT through the TPU tunnel)
         self._round = jax.jit(self._round_impl,
-                              static_argnames=("mask_hw", "pack"))
+                              static_argnames=("mask_hw", "pack",
+                                               "live_rows"))
         # segmented round (cfg.eval.round_segments > 1): interaction
         # dispatch + S sweep dispatches; each segment's packed-mask
         # download overlaps the next segment's compute on the device
         self._start = jax.jit(self._start_impl,
-                              static_argnames=("mask_hw", "pack"))
+                              static_argnames=("mask_hw", "pack",
+                                               "live_rows"))
         self._sweep = jax.jit(self._sweep_impl,
                               static_argnames=("start", "count", "mask_hw",
                                                "pack"))
@@ -240,7 +242,8 @@ class Evaluator:
     def _round_impl(self, feat, emb, raster, annot_idx,
                     prev_masks, gmap_mem, int_mem, is_first, obj_valid,
                     frame_valid, round_idx=None, mem_emb=None,
-                    mem_onehot=None, *, mask_hw=None, pack=8):
+                    mem_onehot=None, *, mask_hw=None, pack=8,
+                    live_rows=None):
         model, variables = self.model, self.variables
         t, h, w, _ = feat.shape
         o = prev_masks.shape[-1]     # object bucket of this sequence
@@ -260,6 +263,12 @@ class Evaluator:
             mem_onehot = jax.lax.dynamic_update_slice(
                 mem_onehot, ref_onehot, (off, 0))
             ref_emb, ref_onehot = mem_emb, mem_onehot
+            if live_rows is not None:
+                # match only the LIVE round slots (filled in round order;
+                # later slots are zero-onehot anyway) — matching FLOPs and
+                # bucketing sort scale with rounds held, not capacity
+                ref_emb = jax.lax.slice_in_dim(ref_emb, 0, live_rows)
+                ref_onehot = jax.lax.slice_in_dim(ref_onehot, 0, live_rows)
 
         # BOTH sweeps as ONE (T-1)-step scan: the step index maps to the
         # frame visit order [annot+1 .. T-1, annot-1 .. 0], the carry
@@ -355,7 +364,7 @@ class Evaluator:
     def _start_impl(self, feat, emb, raster, annot_idx, prev_masks,
                     gmap_mem, int_mem, is_first, obj_valid,
                     round_idx=None, mem_emb=None, mem_onehot=None,
-                    *, mask_hw, pack):
+                    *, mask_hw, pack, live_rows=None):
         """Round head as its own dispatch: interaction branch + matching
         reference prep + the annotated frame's packed mask."""
         int_probs, int_mem, gmap_mem, ref_emb, ref_onehot = \
@@ -370,6 +379,9 @@ class Evaluator:
             mem_onehot = jax.lax.dynamic_update_slice(
                 mem_onehot, ref_onehot, (off, 0))
             ref_emb, ref_onehot = mem_emb, mem_onehot
+            if live_rows is not None:
+                ref_emb = jax.lax.slice_in_dim(ref_emb, 0, live_rows)
+                ref_onehot = jax.lax.slice_in_dim(ref_onehot, 0, live_rows)
         model, variables = self.model, self.variables
         out = {
             "int_probs": int_probs,
@@ -618,11 +630,20 @@ class Evaluator:
         w_pad = (w_img + ((-w_img) % cfg.eval.pad_to)) // ms
         stacked = self.memory_mode == "stacked"
         kw = {}
+        live_rows = None
         if stacked:
             # clamp: past max_interactions, overwrite the last slot
             r = min(state.round_idx, self.cfg.eval.max_interactions - 1)
             kw = dict(round_idx=jnp.asarray(r, jnp.int32),
                       mem_emb=state.mem_emb, mem_onehot=state.mem_onehot)
+            # live-round slicing: match only the filled slots, rounded up
+            # to a power of 2 (one cached compile per bucket)
+            hh, ww = state.feat.shape[1:3]
+            bucket = 1
+            while bucket < r + 1:
+                bucket *= 2
+            bucket = min(bucket, self.cfg.eval.max_interactions)
+            live_rows = bucket * hh * ww
         args = (state.feat, state.emb, jnp.asarray(raster, jnp.int8),
                 jnp.asarray(annot, jnp.int32), state.prev_masks,
                 state.gmap_mem, state.int_mem,
@@ -639,13 +660,14 @@ class Evaluator:
             pk *= 2
         if cfg.eval.round_segments > 1:
             masks = self._run_round_segmented(
-                state, args, kw, annot, frame_valid, (h_pad, w_pad), pk)
+                state, args, kw, annot, frame_valid, (h_pad, w_pad), pk,
+                live_rows)
         else:
             full_args = args[:9] + (jnp.asarray(frame_valid),)
             if stacked:
                 probs, gmap, int_mem, masks, mem_emb, mem_onehot = \
                     self._round(*full_args, **kw, mask_hw=(h_pad, w_pad),
-                                pack=pk)
+                                pack=pk, live_rows=live_rows)
                 state.mem_emb, state.mem_onehot = mem_emb, mem_onehot
             else:
                 probs, gmap, int_mem, masks = self._round(
@@ -663,13 +685,15 @@ class Evaluator:
 
     def _run_round_segmented(self, state: SequenceState, args, kw,
                              annot: int, frame_valid: np.ndarray,
-                             mask_hw, pk: int) -> np.ndarray:
+                             mask_hw, pk: int,
+                             live_rows: int | None = None) -> np.ndarray:
         """Pipelined round: 1 interaction dispatch + S sweep dispatches,
         all enqueued up front (dispatch is async); the packed-mask
         downloads then drain in order, each overlapping the later
         segments' device compute. Bitwise-identical masks to the
         monolithic round (pinned by tests)."""
-        out = self._start(*args, **kw, mask_hw=mask_hw, pack=pk)
+        out = self._start(*args, **kw, mask_hw=mask_hw, pack=pk,
+                          live_rows=live_rows)
         if self.memory_mode == "stacked":
             state.mem_emb, state.mem_onehot = out["mem_emb"], out["mem_onehot"]
         t_bucket = state.feat.shape[0]

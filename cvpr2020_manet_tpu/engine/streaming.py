@@ -5,7 +5,8 @@ time:
 
   s = StreamingIVOS(cfg, model, variables)
   s.reset(num_objects)
-  mask = s.observe(frame)            # segment the newest frame
+  mask = s.observe(frame)            # segment the newest frame (sync)
+  fut  = s.observe_async(frame)      # pipelined: returns a mask Future
   mask = s.correct(scribbles_json)   # user corrects the NEWEST frame
 
 State kept on device between calls:
@@ -17,7 +18,15 @@ State kept on device between calls:
 - gated interaction-feature memory (MA module), previous frame
   embedding + probabilities for local matching.
 
-Each public call is ONE jitted graph + one host transfer of the mask.
+Pipelining (the config-5 perf pass): `observe_async` issues the upload
+and the jitted dispatch (both asynchronous), hands the packed-mask
+download to a thread pool, and returns a Future — so frame i's mask
+transfer rides UNDER frame i+1..'s upload and device compute, and
+steady-state throughput approaches max(upload, compute, download)
+instead of their sum. `observe` is `observe_async(...).result()` — same
+masks, serialized timing. Masks are bit-packed at the LIVE label count
+(1 bit/px for 1-object streams) before the transfer; the device state
+carried between frames never leaves HBM.
 """
 
 from __future__ import annotations
@@ -50,10 +59,17 @@ class StreamingIVOS:
         backend = model.matching_backend
         if backend == "auto":
             backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
-        self.use_pallas = backend == "pallas"
-        self._observe = jax.jit(self._observe_impl)
+        self.use_pallas = backend.startswith("pallas")
+        # n_rows static: the matching memory is sliced to the LIVE page
+        # count before matching (one cached compile per power-of-2 page
+        # bucket) — a stream that has seen 1 correction matches 1 page,
+        # not capacity pages (8x less matching FLOPs + bucketing sort)
+        self._observe = jax.jit(self._observe_impl,
+                                static_argnames=("n_rows",))
         self._correct = jax.jit(self._correct_impl)
         self.state = None
+        from cvpr2020_manet_tpu.engine.evaluator import _FETCH_POOL
+        self._fetch_pool = _FETCH_POOL
 
     # ------------------------------------------------------------------ #
 
@@ -62,6 +78,15 @@ class StreamingIVOS:
         # object bucket: small sequences get small graphs (cost ~linear in O)
         o = 4 if num_objects + 1 <= 4 <= self.o else self.o
         self._o_bucket = o
+        # densest lossless mask code for the LIVE label count (evaluator
+        # semantics: 1 bit/px for a 1-object stream — half the transfer of
+        # the bucket code), widened until the packed W axis is whole-byte
+        # aligned
+        from cvpr2020_manet_tpu.engine.evaluator import mask_bits_for_labels
+        bits = mask_bits_for_labels(num_objects + 1)
+        while self.wp % (8 // bits):
+            bits *= 2
+        self._bits = bits
         m = self.capacity * hh * ww
         obj_valid = np.zeros((o,), np.float32)
         obj_valid[:num_objects + 1] = 1.0
@@ -90,9 +115,13 @@ class StreamingIVOS:
 
     def _observe_impl(self, image, mem_emb, mem_onehot, int_mem,
                       prev_emb, prev_probs, obj_valid, has_memory,
-                      head_mem_pre):
+                      head_mem_pre, *, n_rows):
         model, variables = self.model, self.variables
         o = mem_onehot.shape[-1]
+        # matching memory restricted to the live pages (pages fill in
+        # round order, so the live rows are a prefix)
+        mem_emb = jax.lax.slice_in_dim(mem_emb, 0, n_rows)
+        mem_onehot = jax.lax.slice_in_dim(mem_onehot, 0, n_rows)
         if image.dtype == jnp.uint8:
             # uint8 ingest + device-side normalize: a float32 1080p frame
             # is 25 MB over the host link, uint8 is 6. Re-zero the padded
@@ -151,28 +180,34 @@ class StreamingIVOS:
         return probs, mem_emb, mem_onehot, int_mem, mask, head_mem_pre
 
     def _mask(self, probs):
-        """Full-res argmax labels, BIT-PACKED for the transfer (the raw
-        int32 map is 8.3 MB at 1080p — ~0.8 s on the sandbox link)."""
-        from cvpr2020_manet_tpu.engine.evaluator import (
-            Evaluator, pack_labels)
+        """Full-res argmax labels, BIT-PACKED for the transfer at the live
+        label count (the raw int32 map is 8.3 MB at 1080p — ~0.8 s on the
+        sandbox link; 2-bit packing is ~0.5 MB, 1-bit half that)."""
+        from cvpr2020_manet_tpu.engine.evaluator import pack_labels
         up = resize_bilinear(probs, (self.hp, self.wp))
         lab = jnp.argmax(up, axis=-1).astype(jnp.uint8)
-        return pack_labels(lab, Evaluator._mask_bits(probs.shape[-1]))
+        return pack_labels(lab, self._bits)
 
     def _unpack(self, packed) -> np.ndarray:
-        from cvpr2020_manet_tpu.engine.evaluator import (
-            Evaluator, unpack_labels)
+        from cvpr2020_manet_tpu.engine.evaluator import unpack_labels
         h, w = self.cfg.eval.image_size
-        lab = unpack_labels(np.asarray(packed),
-                            Evaluator._mask_bits(self._o_bucket))
+        lab = unpack_labels(np.asarray(packed), self._bits)
         return lab[:h, :w].astype(np.int32)
 
     # ------------------------------------------------------------------ #
 
-    def observe(self, image: np.ndarray) -> np.ndarray:
-        """Segment a new frame. image (H, W, 3): uint8 raw RGB (preferred
-        — 4x cheaper over the host link, normalized on device) or float32
-        already ImageNet-normalized."""
+    def observe_async(self, image: np.ndarray):
+        """Pipelined segmentation of a new frame: upload + dispatch are
+        issued asynchronously, the packed-mask download runs on a thread
+        pool, and the (H, W) int32 label map arrives via the returned
+        Future — so this frame's mask transfer overlaps the NEXT frames'
+        upload and device compute. The device-side state advances
+        immediately (JAX arrays are futures), so calls can be issued
+        back-to-back at device speed.
+
+        image (H, W, 3): uint8 raw RGB (preferred — 4x cheaper over the
+        host link, normalized on device) or float32 already
+        ImageNet-normalized."""
         st = self.state
         if image.dtype != np.uint8:
             image = image.astype(np.float32)
@@ -181,11 +216,28 @@ class StreamingIVOS:
             jnp.asarray(image), st["mem_emb"], st["mem_onehot"],
             st["int_mem"], st["prev_emb"], st["prev_probs"],
             st["obj_valid"], jnp.asarray(st["rounds"] > 0),
-            st["head_mem_pre"])
+            st["head_mem_pre"],
+            n_rows=self.live_pages() * self.hh * self.ww)
         st["prev_emb"], st["prev_probs"] = e_t, probs
         st["cur_feat"], st["cur_emb"], st["cur_probs"] = f_t, e_t, probs
         st["frame_idx"] += 1
-        return self._unpack(mask)
+        return self._fetch_pool.submit(self._unpack, mask)
+
+    def observe(self, image: np.ndarray) -> np.ndarray:
+        """Synchronous observe: same masks as observe_async, serialized
+        timing (upload + compute + download on the caller's thread)."""
+        return self.observe_async(image).result()
+
+    def live_pages(self) -> int:
+        """Matching-memory pages actually holding data, rounded up to a
+        power of 2 (bounds the observe graph count to log2(capacity)+1
+        cached compiles). Round count is host state, so this is static
+        per call — the unbounded-memory axis only costs what it holds."""
+        r = max(1, min(self.state["rounds"], self.capacity))
+        p = 1
+        while p < r:
+            p *= 2
+        return min(p, self.capacity)
 
     def correct(self, scribbles_json) -> np.ndarray:
         """User scribbles on the newest frame -> refreshed mask; the

@@ -138,7 +138,8 @@ def make_cp_train_step(model: MANet, cfg: Config, mesh):
     sharded = jax.shard_map(
         per_device, mesh=mesh,
         in_specs=(P(), P(), {"images": P("data"), "labels": P("data"),
-                             "obj_valid": P("data")}),
+                             "obj_valid": P("data"),
+                             "frame_valid": P("data")}),
         out_specs=(P(), P()),
         check_vma=False)
 
@@ -215,7 +216,8 @@ class Trainer:
         repl = replicated_sharding(self.mesh)
         data = batch_sharding(self.mesh)
         self.state = jax.device_put(self.state, repl)
-        batch_shardings = {"images": data, "labels": data, "obj_valid": data}
+        batch_shardings = {"images": data, "labels": data, "obj_valid": data,
+                           "frame_valid": data}
         self._step = jax.jit(
             make_train_step(self.model, cfg),
             in_shardings=(repl, batch_shardings),
@@ -245,7 +247,8 @@ def synthetic_batch(cfg: Config, rng: np.random.Generator) -> Dict[str, np.ndarr
         labels[i] = ds.gt_masks(seq)
     obj_valid = np.zeros((b, o), np.float32)
     obj_valid[:, :n_obj + 1] = 1.0
-    return {"images": images, "labels": labels, "obj_valid": obj_valid}
+    return {"images": images, "labels": labels, "obj_valid": obj_valid,
+            "frame_valid": np.ones((b, 3), np.float32)}
 
 
 def main(argv=None):
@@ -258,6 +261,13 @@ def main(argv=None):
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--davis_root", default=None,
                    help="train on DAVIS (data/davis.py) instead of synthetic")
+    p.add_argument("--grain", action="store_true",
+                   help="multiprocess grain input pipeline "
+                        "(data/grain_pipeline.py; requires --davis_root)")
+    p.add_argument("--grain_workers", type=int, default=4)
+    p.add_argument("--shard_index", type=int, default=0,
+                   help="per-host data shard (grain path; multi-host DP)")
+    p.add_argument("--shard_count", type=int, default=1)
     p.add_argument("--log_dir", default=None)
     p.add_argument("--snapshot_dir", default=None,
                    help="orbax checkpoint dir (resumes if it has snapshots)")
@@ -275,7 +285,15 @@ def main(argv=None):
             trainer.state = mgr.restore(trainer.state)
             print(f"resumed from step {int(trainer.state.step)}")
 
-    if args.davis_root:
+    if args.grain:
+        assert args.davis_root, "--grain requires --davis_root"
+        from cvpr2020_manet_tpu.data.grain_pipeline import make_train_iterator
+        it = make_train_iterator(
+            args.davis_root, cfg, num_workers=args.grain_workers,
+            seed=cfg.train.seed, shard_index=args.shard_index,
+            shard_count=args.shard_count)
+        next_batch = lambda: next(it)
+    elif args.davis_root:
         from cvpr2020_manet_tpu.data.davis import DavisTrainDataset
         ds = DavisTrainDataset(args.davis_root, cfg)
         next_batch = lambda: ds.batch(cfg.train.batch_size)

@@ -120,10 +120,12 @@ def _synthesize_scribbles(key, gt_oh, pred_labels, obj_valid):
 
 
 def forward_sample_stage2(model: MANet, params, images, labels, obj_valid,
-                          cfg: Config, key):
+                          cfg: Config, key, frame_valid=None):
     """Multi-round simulated interaction on one clip.
 
-    images (F, H, W, 3); labels (F, H, W). Returns per-round mean loss.
+    images (F, H, W, 3); labels (F, H, W); frame_valid (F,) {0,1} — padded
+    frames (clips shorter than clip_len) are excluded from the worst-frame
+    pick; the caller drops their loss. Returns per-round logits.
     """
     mcfg = cfg.model
     o = mcfg.max_objects + 1
@@ -140,11 +142,16 @@ def forward_sample_stage2(model: MANet, params, images, labels, obj_valid,
     init_probs = jnp.zeros((f, hh, ww, o)).at[..., 0].set(1.0)
     init_mem = jnp.zeros((o, hh, ww, mcfg.ma_channels), jnp.float32)
 
+    fv = (jnp.ones((f,), jnp.float32) if frame_valid is None
+          else frame_valid.astype(jnp.float32))
+
     def round_step(carry, xs):
         probs, int_mem = carry
         r, key_r = xs
-        # worst frame by soft IoU (on-device robot: frame selection)
-        a = jnp.argmin(_soft_iou_per_frame(probs, gt_oh, obj_valid))
+        # worst frame by soft IoU (on-device robot: frame selection);
+        # padded frames can never be picked as the annotated frame
+        iou = _soft_iou_per_frame(probs, gt_oh, obj_valid)
+        a = jnp.argmin(jnp.where(fv > 0, iou, jnp.inf))
         gt_a = jnp.take(gt_oh, a, axis=0)
         pred_a = jnp.argmax(jnp.take(probs, a, axis=0), axis=-1)
         pos, neg = _synthesize_scribbles(key_r, gt_a, pred_a, obj_valid)
@@ -196,22 +203,26 @@ def make_train_step(model: MANet, cfg: Config):
         ratio = bootstrap_ratio_schedule(
             step, tcfg.bootstrap_warmup_steps, tcfg.bootstrap_ratio)
 
-        def per_sample(images, labels, obj_valid, key):
+        def per_sample(images, labels, obj_valid, frame_valid, key):
             up = forward_sample_stage2(
-                model, params, images, labels, obj_valid, cfg, key)
+                model, params, images, labels, obj_valid, cfg, key,
+                frame_valid=frame_valid)
             r, f = up.shape[:2]
             losses = jax.vmap(jax.vmap(
                 lambda lo, la: bootstrapped_cross_entropy(lo, la, ratio)))(
                     up, jnp.broadcast_to(labels[None], (r, *labels.shape)))
-            # later rounds carry more weight: the MA gate must help, not hurt
-            weights = 1.0 + jnp.arange(r, dtype=jnp.float32)[:, None]
-            return jnp.sum(losses * weights) / jnp.sum(weights) / f
+            # later rounds carry more weight (the MA gate must help, not
+            # hurt); padded frames contribute zero loss
+            weights = (1.0 + jnp.arange(r, dtype=jnp.float32)[:, None]) \
+                * frame_valid[None, :]
+            return jnp.sum(losses * weights) / jnp.maximum(
+                jnp.sum(weights), 1e-6)
 
         b = batch["images"].shape[0]
         loss = jnp.mean(jax.lax.map(
             lambda xs: per_sample(*xs),
             (batch["images"], batch["labels"], batch["obj_valid"],
-             jax.random.split(key, b))))
+             batch["frame_valid"], jax.random.split(key, b))))
         return loss, {"loss": loss}
 
     def train_step(state: TrainState, batch, key):
@@ -252,7 +263,7 @@ class Stage2Trainer:
         data_sh = batch_sharding(self.mesh)
         self.state = jax.device_put(self.state, repl)
         batch_shardings = {"images": data_sh, "labels": data_sh,
-                           "obj_valid": data_sh}
+                           "obj_valid": data_sh, "frame_valid": data_sh}
         self._step = jax.jit(
             make_train_step(self.model, cfg),
             in_shardings=(repl, batch_shardings, repl),
@@ -272,6 +283,20 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--davis_root", default=None,
+                   help="train on DAVIS clips (data/davis.py) instead of "
+                        "synthetic")
+    p.add_argument("--ytvos_root", default=None,
+                   help="train on YouTube-VOS clips (data/ytvos.py)")
+    p.add_argument("--clip_len", type=int, default=3,
+                   help="frames per stage-2 clip (rounds propagate over "
+                        "the clip; short sequences pad + frame_valid)")
+    p.add_argument("--grain", action="store_true",
+                   help="multiprocess grain input pipeline "
+                        "(requires --davis_root)")
+    p.add_argument("--grain_workers", type=int, default=4)
+    p.add_argument("--shard_index", type=int, default=0)
+    p.add_argument("--shard_count", type=int, default=1)
     p.add_argument("--init_from", default=None,
                    help="stage-1 snapshot dir to initialize params from")
     p.add_argument("--snapshot_dir", default=None)
@@ -281,6 +306,27 @@ def main(argv=None):
     cfg = tiny_test_config() if args.tiny else Config()
     trainer = Stage2Trainer(cfg)
     logger = MetricLogger(args.log_dir)
+
+    if args.grain:
+        assert args.davis_root, "--grain requires --davis_root"
+        from cvpr2020_manet_tpu.data.grain_pipeline import make_train_iterator
+        it = make_train_iterator(
+            args.davis_root, cfg, clip_len=args.clip_len,
+            num_workers=args.grain_workers, seed=cfg.train.seed,
+            shard_index=args.shard_index, shard_count=args.shard_count)
+        next_batch = lambda: next(it)
+    elif args.davis_root or args.ytvos_root:
+        from cvpr2020_manet_tpu.data.davis import DavisTrainDataset
+        adapter = None
+        if args.ytvos_root:
+            from cvpr2020_manet_tpu.data.ytvos import YTVOSDataset
+            adapter = YTVOSDataset(args.ytvos_root)
+        ds = DavisTrainDataset(args.davis_root or "", cfg,
+                               clip_len=args.clip_len, adapter=adapter)
+        next_batch = lambda: ds.batch(cfg.train.batch_size)
+    else:
+        rng_syn = np.random.default_rng(cfg.train.seed)
+        next_batch = lambda: synthetic_batch(cfg, rng_syn)
 
     if args.init_from:
         # stage 2 starts from the stage-1 snapshot (SURVEY.md §4.4: same
@@ -299,10 +345,9 @@ def main(argv=None):
             trainer.state = mgr.restore(trainer.state)
             print(f"resumed from step {int(trainer.state.step)}")
 
-    rng = np.random.default_rng(cfg.train.seed)
     start = int(trainer.state.step)
     for step in range(start, start + args.steps):
-        metrics = trainer.train_step(synthetic_batch(cfg, rng))
+        metrics = trainer.train_step(next_batch())
         logger.write(step, metrics)
         if mgr is not None and (step + 1) % cfg.train.checkpoint_every == 0:
             mgr.save(trainer.state)

@@ -21,6 +21,10 @@ def main(argv=None):
     p.add_argument("--image_size", type=int, nargs=2, default=(1080, 1920))
     p.add_argument("--frames", type=int, default=6, help="timed frames")
     p.add_argument("--corrections", type=int, default=1)
+    p.add_argument("--pages", type=int, default=None,
+                   help="matching-memory pages (eval.max_interactions): "
+                        "the unbounded-memory-growth axis")
+    p.add_argument("--num_objects", type=int, default=2)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
@@ -40,9 +44,11 @@ def main(argv=None):
     from cvpr2020_manet_tpu.models import MANet
 
     base = tiny_test_config() if args.tiny else Config()
+    eval_kw = {"image_size": tuple(args.image_size)}
+    if args.pages is not None:
+        eval_kw["max_interactions"] = args.pages
     cfg = dataclasses.replace(
-        base, eval=dataclasses.replace(base.eval,
-                                       image_size=tuple(args.image_size)))
+        base, eval=dataclasses.replace(base.eval, **eval_kw))
     model = MANet(cfg.model, matching_backend="auto")
     h, w = cfg.eval.image_size
     hp = h + (-h) % cfg.eval.pad_to
@@ -52,10 +58,11 @@ def main(argv=None):
         jax.random.PRNGKey(0), jnp.zeros((1, hp, wp, 3)),
         jnp.zeros((1, hp // 4, wp // 4, o)), jnp.zeros((1, hp // 4, wp // 4, o)))
     s = StreamingIVOS(cfg, model, variables)
-    s.reset(num_objects=2)
+    s.reset(num_objects=args.num_objects)
 
     ds = SyntheticDataset(image_size=(h, w), num_frames=args.frames + 2,
-                          num_sequences=1, num_objects=2, scribble_sets=1)
+                          num_sequences=1, num_objects=args.num_objects,
+                          scribble_sets=1)
     seq = ds.sequences()[0]
     # uint8 ingest path (raw RGB; the server normalizes on device)
     from cvpr2020_manet_tpu.data.davis import IMAGENET_MEAN, IMAGENET_STD
@@ -69,19 +76,37 @@ def main(argv=None):
         s.correct(scr)
     s.observe(frames[1])
 
+    # synchronous per-frame latency: upload + compute + download serialized
     lat = []
     for i in range(args.frames):
         t0 = time.perf_counter()
         mask = s.observe(frames[(i + 2) % frames.shape[0]])
         mask.sum()
         lat.append(time.perf_counter() - t0)
+
+    # pipelined steady-state: frames issued back-to-back via
+    # observe_async; each frame's mask download overlaps the later frames'
+    # upload + compute (the streaming-serving operating point)
+    futs = []
+    t0 = time.perf_counter()
+    for i in range(args.frames):
+        futs.append(s.observe_async(frames[(i + 2) % frames.shape[0]]))
+    for f in futs:
+        f.result().sum()
+    pipe_ms = 1000 * (time.perf_counter() - t0) / args.frames
+
     print(json.dumps({
         "metric": "streaming_observe_p50_ms",
         "value": round(1000 * float(np.median(lat)), 1),
         "unit": "ms/frame",
         "image_size": [h, w],
         "memory_pages": s.capacity,
+        "live_pages": s.live_pages(),
+        "num_objects": args.num_objects,
+        "mask_bits": s._bits,
         "fps": round(1.0 / float(np.median(lat)), 2),
+        "pipelined_ms_per_frame": round(pipe_ms, 1),
+        "pipelined_fps": round(1000.0 / pipe_ms, 2),
     }))
     return 0
 

@@ -1,16 +1,23 @@
 """Flagship-scale synthetic train -> interactive eval on the live TPU.
 
-Trains the FULL model (ResNet-101 encoder, production dims) with stage 1
-on synthetic clips, exports a release checkpoint, and runs the 8-round
-interactive protocol at 480p — the end-to-end production-scale proof
-that training, checkpointing, and the segmented evaluator compose.
+The production-scale end-to-end proof (VERDICT r2 #2 shape):
+  stage-1 train (full ResNet-101, production dims)
+  -> stage-2 train (multi-round interaction sim, MA gate under training)
+  -> 8-round interactive protocol at 480p on a NON-SATURATING task:
+     objects ENTER MID-SEQUENCE (SyntheticDataset entry_frames), so an
+     early annotated frame cannot segment them — multi-round correction
+     and the cross-round matching/MA memory retaining it are structurally
+     necessary, and the per-round curve cannot saturate at round 0.
+  -> metrics come out of the PRODUCTION L5->L6 path: InteractiveSession
+     -> submit_masks -> get_report()/get_global_summary() (AUC, J&F@60s).
+  -> optional --ablate leg re-runs the protocol with the cross-round
+     memories disabled (Evaluator ablate_memory) to quantify the MA
+     contribution on the same task.
 
-Measured 2026-08-16 (v5e-1, 400 steps, batch 2, crop 256, ~0.27 s/step):
-  per-round J&F [0.269, 0.411, 0.579, 0.690, 0.756, 0.783, 0.807, 0.826]
-  — monotone improvement across ALL 8 rounds (the MANet memory-
-  aggregation claim, SURVEY.md §1) at p50 225 ms/round (71 fps).
+Measured results: docs/QUALITY.md ("Flagship-scale proof" table).
 
-    python scripts/train_eval_flagship.py --steps 400 --release /tmp/rel
+    python scripts/train_eval_flagship.py --steps1 600 --steps2 300 \
+        --sequences 4 --objects 3 --ablate --release /tmp/rel
 """
 
 import argparse
@@ -24,17 +31,41 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _per_round_jf(sess):
+    rep = sess.get_report().assign(jf=lambda d: 0.5 * (d.jaccard + d.contour))
+    return rep.groupby("interaction").jf.mean()
+
+
+def run_protocol(ev, ds, rounds):
+    from cvpr2020_manet_tpu.interactive.session import InteractiveSession
+    sess = InteractiveSession(ds, max_interactions=rounds)
+    summary = ev.run_session(sess)
+    per_round = _per_round_jf(sess)
+    return summary, per_round
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--steps1", type=int, default=600,
+                   help="stage-1 training steps")
+    p.add_argument("--steps2", type=int, default=300,
+                   help="stage-2 training steps (0 = skip the stage-2 leg)")
     p.add_argument("--batch", type=int, default=2)
     p.add_argument("--crop", type=int, default=256)
     p.add_argument("--rounds", type=int, default=8)
     p.add_argument("--frames", type=int, default=16)
-    p.add_argument("--sequences", type=int, default=2)
+    p.add_argument("--sequences", type=int, default=4)
+    p.add_argument("--objects", type=int, default=3)
+    p.add_argument("--sets", type=int, default=3,
+                   help="initial scribble sets per sequence (DAVIS uses 3)")
+    p.add_argument("--ablate", action="store_true",
+                   help="also run the memory-ablated protocol (MA delta)")
     p.add_argument("--release", default=None,
                    help="export dir for the trained release checkpoint")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny model + tiny eval resolution (CPU logic "
+                        "smoke; NOT a flagship measurement)")
     args = p.parse_args(argv)
 
     import jax
@@ -44,54 +75,98 @@ def main(argv=None):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import dataclasses
 
-    import jax.numpy as jnp
-
-    from cvpr2020_manet_tpu.config import Config, EvalConfig
+    from cvpr2020_manet_tpu.config import (
+        Config, EvalConfig, tiny_test_config)
     from cvpr2020_manet_tpu.data import SyntheticDataset
     from cvpr2020_manet_tpu.engine.evaluator import Evaluator
     from cvpr2020_manet_tpu.engine.train_stage1 import (
         Trainer, synthetic_batch)
-    from cvpr2020_manet_tpu.interactive.session import InteractiveSession
-    from cvpr2020_manet_tpu.models import MANet
 
-    cfg = Config(eval=EvalConfig(max_frames=args.frames))
+    if args.tiny:
+        base = tiny_test_config()
+        cfg = dataclasses.replace(
+            base, eval=dataclasses.replace(base.eval,
+                                           max_frames=args.frames))
+        args.crop = base.train.crop_size[0]
+    else:
+        cfg = Config(eval=EvalConfig(max_frames=args.frames))
     cfg = dataclasses.replace(
         cfg, train=dataclasses.replace(
             cfg.train, crop_size=(args.crop, args.crop),
-            batch_size=args.batch, total_steps=args.steps))
+            batch_size=args.batch, total_steps=args.steps1))
 
     trainer = Trainer(cfg)
     rng = np.random.default_rng(0)
     t0 = time.time()
-    for step in range(args.steps):
+    for step in range(args.steps1):
         m = trainer.train_step(synthetic_batch(cfg, rng))
         if step % 100 == 0:
-            print(f"step {step}: loss={float(m['loss']):.4f}", flush=True)
-    print(f"trained {args.steps} steps in {time.time() - t0:.0f}s "
+            print(f"stage1 step {step}: loss={float(m['loss']):.4f}",
+                  flush=True)
+    print(f"stage1: {args.steps1} steps in {time.time() - t0:.0f}s "
           f"(final loss {float(m['loss']):.4f})", flush=True)
+    params = trainer.state.params
+    model = trainer.model
 
-    params = jax.device_get(trainer.state.params)
+    if args.steps2 > 0:
+        from cvpr2020_manet_tpu.engine.train_stage2 import Stage2Trainer
+        cfg2 = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           total_steps=args.steps2))
+        t2 = Stage2Trainer(cfg2)
+        t2.state = t2.state.replace(params=params)
+        t0 = time.time()
+        for step in range(args.steps2):
+            m = t2.train_step(synthetic_batch(cfg2, rng))
+            if step % 100 == 0:
+                print(f"stage2 step {step}: loss={float(m['loss']):.4f}",
+                      flush=True)
+        print(f"stage2: {args.steps2} steps in {time.time() - t0:.0f}s "
+              f"(final loss {float(m['loss']):.4f})", flush=True)
+        params = t2.state.params
+        model = t2.model
+
+    params = jax.device_get(params)
     if args.release:
         from cvpr2020_manet_tpu.utils.checkpoint import export_release
         export_release(params, args.release)
         print(f"release exported to {args.release}", flush=True)
-
     variables = {"params": params}
+
+    # Non-saturating eval task: objects enter at staggered mid-sequence
+    # frames — rounds whose annotated frame precedes an object's entry
+    # cannot see it; later rounds must, and the memories must retain it.
+    entry = [int(i * args.frames / (args.objects + 1))
+             for i in range(args.objects)]
     ds = SyntheticDataset(image_size=cfg.eval.image_size,
                           num_frames=args.frames,
-                          num_sequences=args.sequences, num_objects=2,
-                          scribble_sets=1, seed=77)
-    ev = Evaluator(cfg, trainer.model, variables)
-    sess = InteractiveSession(ds, max_interactions=args.rounds)
-    summary = ev.run_session(sess)
-    rep = sess.get_report().assign(jf=lambda d: 0.5 * (d.jaccard + d.contour))
-    per_round = rep.groupby("interaction").jf.mean()
+                          num_sequences=args.sequences,
+                          num_objects=args.objects,
+                          scribble_sets=args.sets, seed=77,
+                          entry_frames=entry)
+    print(f"eval task: {args.sequences} seq x {args.sets} sets, "
+          f"{args.objects} objects entering at frames {entry}", flush=True)
+
+    ev = Evaluator(cfg, model, variables)
+    summary, per_round = run_protocol(ev, ds, args.rounds)
     lat = np.asarray(ev.round_latencies)
-    print(json.dumps({
+    out = {
         "per_round_jf": [round(float(x), 3) for x in per_round.tolist()],
         "auc": round(summary["auc"], 3),
+        "jf_at_60s": round(float(summary["metric_at_threshold"]), 3),
         "p50_round_ms": round(1000 * float(np.median(lat)), 0),
-    }))
+        "entry_frames": entry,
+    }
+
+    if args.ablate:
+        ev_ab = Evaluator(cfg, model, variables, ablate_memory=True)
+        summary_ab, per_round_ab = run_protocol(ev_ab, ds, args.rounds)
+        out["ablate_per_round_jf"] = [round(float(x), 3)
+                                      for x in per_round_ab.tolist()]
+        out["ablate_auc"] = round(summary_ab["auc"], 3)
+        out["memory_auc_delta"] = round(out["auc"] - out["ablate_auc"], 3)
+
+    print(json.dumps(out))
     last, first = float(per_round.iloc[-1]), float(per_round.iloc[0])
     if last <= first:
         print("WARNING: rounds did not improve J&F")
