@@ -87,6 +87,20 @@ def ring_local_then_min(query, ref_shard, onehot_shard, valid_shard,
     return dmin
 
 
+def ring_pallas(query, ref_shard, onehot_shard, valid_shard, axis_name,
+                backend: str = "pallas"):
+    """Kernel-level ring schedule: the bucketed shards rotate via
+    inter-chip RDMA INSIDE one Pallas kernel (ops/ring_matching_pallas),
+    the send overlapping each step's full matching pass — no per-fold
+    XLA collective, no gather buffer. Call INSIDE shard_map."""
+    from cvpr2020_manet_tpu.ops.ring_matching_pallas import (
+        ring_matching_shard)
+    oh = onehot_shard * valid_shard.astype(onehot_shard.dtype)[:, None]
+    return ring_matching_shard(
+        query, ref_shard, oh, axis_name=axis_name,
+        interpret=(backend == "pallas_interpret"))
+
+
 def context_parallel_matching(
     query: jax.Array,       # (Nq, C)
     ref: jax.Array,         # (Nk, C) — Nk divisible by the context size
@@ -94,16 +108,19 @@ def context_parallel_matching(
     ref_valid: jax.Array,   # (Nk,)
     mesh: Mesh,
     axis_name: str = "context",
-    schedule: str = "allgather",     # "allgather" | "ring"
-    backend: str = "jnp",            # "jnp" | "pallas" | "pallas_interpret"
+    schedule: str = "allgather",  # "allgather" | "ring" | "ring_pallas"
+    backend: str = "jnp",         # "jnp" | "pallas" | "pallas_interpret"
 ) -> jax.Array:
     """Standalone CP matching over `mesh[axis_name]` (eval / tests).
 
     `backend` selects the per-shard matching implementation — pass
     "pallas" on a TPU mesh so the CP path exercises the production kernel
     (each shard buckets its own rows via prepare_ref inside the call).
+    schedule="ring_pallas" moves the whole ring inside the RDMA Pallas
+    kernel (backend is then forced to the Pallas kernel).
     """
-    impl = local_then_min if schedule == "allgather" else ring_local_then_min
+    impl = {"allgather": local_then_min, "ring": ring_local_then_min,
+            "ring_pallas": ring_pallas}[schedule]
     fn = shard_map(
         functools.partial(impl, axis_name=axis_name, backend=backend),
         mesh=mesh,
