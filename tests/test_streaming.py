@@ -52,3 +52,42 @@ def test_streaming_observe_correct_loop():
     if scr2.scribbles[2]:
         s.correct(scr2.to_json())
         assert int(s.state["rounds"]) == 2
+
+
+def test_streaming_live_pages_and_async():
+    """Live-page matching slices to the filled power-of-2 page bucket;
+    observe_async returns the SAME masks as sync observe; masks are
+    unaffected by how much dead capacity sits beyond the live pages."""
+    cfg = tiny_test_config()
+    h, w = cfg.eval.image_size
+    o = cfg.model.max_objects + 1
+    ds = SyntheticDataset(image_size=(h, w), num_frames=6,
+                          num_sequences=1, num_objects=1)
+    seq = ds.sequences()[0]
+    images, gt = ds.images(seq), ds.gt_masks(seq)
+    model = MANet(cfg.model, matching_backend="jnp")
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)),
+        jnp.zeros((1, h // 4, w // 4, o)), jnp.zeros((1, h // 4, w // 4, o)))
+    robot = InteractiveScribblesRobot()
+
+    s = StreamingIVOS(cfg, model, variables)
+    s.reset(num_objects=1)
+    assert s.live_pages() == 1           # empty memory still matches 1 page
+    s.observe(images[0])
+    scr = robot.scribble_frame(np.zeros_like(gt[0]), gt[0], 1, 0, 1, seq)
+    s.correct(scr.to_json())
+    assert s.live_pages() == 1
+    m_sync = s.observe(images[1])
+    s.correct(scr.to_json())             # second page
+    assert s.live_pages() == 2
+    s.correct(scr.to_json())             # third -> bucket 4
+    assert s.live_pages() == 4
+
+    # async path: fresh engine, same sequence of calls, same masks
+    s2 = StreamingIVOS(cfg, model, variables)
+    s2.reset(num_objects=1)
+    s2.observe_async(images[0]).result()
+    s2.correct(scr.to_json())
+    m_async = s2.observe_async(images[1]).result()
+    np.testing.assert_array_equal(m_sync, m_async)
