@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_evaluator(cfg, checkpoint: str | None = None):
+def build_evaluator(cfg, checkpoint: str | None = None,
+                    context_parallel: int = 1):
     from cvpr2020_manet_tpu.engine.evaluator import Evaluator
     from cvpr2020_manet_tpu.models import MANet
     from cvpr2020_manet_tpu.utils.checkpoint import load_release
@@ -37,7 +38,13 @@ def build_evaluator(cfg, checkpoint: str | None = None):
     if checkpoint:
         params = load_release(variables["params"], checkpoint)
         variables = {**variables, "params": params}
-    return Evaluator(cfg, model, variables)
+    cp_mesh = None
+    if context_parallel > 1:
+        # matching-memory rows shard over 'context'; per-shard matching
+        # combines with an all-gather-min (parallel/cp_matching.py)
+        from cvpr2020_manet_tpu.parallel.mesh import create_mesh
+        cp_mesh = create_mesh(data=1, context=context_parallel)
+    return Evaluator(cfg, model, variables, cp_mesh=cp_mesh)
 
 
 def main(argv=None):
@@ -64,6 +71,13 @@ def main(argv=None):
     # self-consistent: its eval shapes come from tiny_test_config)
     p.add_argument("--max_frames", type=int, default=None)
     p.add_argument("--image_size", type=int, nargs=2, default=None)
+    p.add_argument("--matching_memory", default=None,
+                   choices=["min_fused", "stacked"],
+                   help="round-memory mode (config.EvalConfig)")
+    p.add_argument("--context_parallel", type=int, default=1,
+                   help="shard the matching memory over this many devices "
+                        "('context' mesh axis, all-gather-min combine); "
+                        "pairs with --matching_memory stacked")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model config (smoke tests)")
     args = p.parse_args(argv)
@@ -80,12 +94,15 @@ def main(argv=None):
         overrides["max_frames"] = args.max_frames
     if args.image_size is not None:
         overrides["image_size"] = tuple(args.image_size)
+    if args.matching_memory is not None:
+        overrides["matching_memory"] = args.matching_memory
     cfg = dataclasses.replace(
         base, eval=dataclasses.replace(base.eval, **overrides),
         davis_root=args.davis_root)
     ds = DavisEvalDataset(args.davis_root, subset=args.subset,
                           scribble_sets=args.scribble_sets)
-    evaluator = build_evaluator(cfg, args.checkpoint)
+    evaluator = build_evaluator(cfg, args.checkpoint,
+                                context_parallel=args.context_parallel)
     session = InteractiveSession(ds, max_interactions=args.rounds,
                                  max_time=args.max_time)
 
