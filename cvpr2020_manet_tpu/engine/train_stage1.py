@@ -229,19 +229,31 @@ class Trainer:
         return jax.device_get(metrics)
 
 
-def synthetic_batch(cfg: Config, rng: np.random.Generator) -> Dict[str, np.ndarray]:
-    """Random moving-square triplets (smoke training / tests)."""
+def synthetic_batch(cfg: Config, rng: np.random.Generator,
+                    num_objects: int | None = None,
+                    random_entry: bool = False) -> Dict[str, np.ndarray]:
+    """Random moving-square triplets (smoke training / tests).
+
+    num_objects: objects per clip (default 2, capped by the bucket).
+    random_entry: sample each object's first-visible frame uniformly over
+    the clip — the model then TRAINS on objects that enter mid-clip
+    (absent from the reference frame), matching YouTube-VOS dynamics and
+    the entry-frames eval task (scripts/train_eval_flagship.py)."""
     from cvpr2020_manet_tpu.data.synthetic import SyntheticDataset
     b = cfg.train.batch_size
     h, w = cfg.train.crop_size
     o = cfg.model.max_objects + 1
-    n_obj = min(2, cfg.model.max_objects)
+    n_obj = (min(2, cfg.model.max_objects) if num_objects is None
+             else min(num_objects, cfg.model.max_objects))
     images = np.empty((b, 3, h, w, 3), np.float32)
     labels = np.empty((b, 3, h, w), np.int32)
     for i in range(b):
+        entry = ([int(e) for e in rng.integers(0, 3, size=n_obj)]
+                 if random_entry else None)
         ds = SyntheticDataset(image_size=(h, w), num_frames=3,
                               num_sequences=1, num_objects=n_obj,
-                              seed=int(rng.integers(1 << 30)))
+                              seed=int(rng.integers(1 << 30)),
+                              entry_frames=entry)
         seq = ds.sequences()[0]
         images[i] = ds.images(seq)
         labels[i] = ds.gt_masks(seq)

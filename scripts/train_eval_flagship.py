@@ -52,6 +52,12 @@ def main(argv=None):
                    help="stage-2 training steps (0 = skip the stage-2 leg)")
     p.add_argument("--batch", type=int, default=2)
     p.add_argument("--crop", type=int, default=256)
+    p.add_argument("--crop2", type=int, default=192,
+                   help="stage-2 crop (the multi-round simulation holds "
+                        "R x F full activation sets; crop 256 x 3 rounds "
+                        "OOMs a 16G v5e chip)")
+    p.add_argument("--rounds2", type=int, default=2,
+                   help="simulated rounds per stage-2 sample")
     p.add_argument("--rounds", type=int, default=8)
     p.add_argument("--frames", type=int, default=16)
     p.add_argument("--sequences", type=int, default=4)
@@ -99,7 +105,8 @@ def main(argv=None):
     rng = np.random.default_rng(0)
     t0 = time.time()
     for step in range(args.steps1):
-        m = trainer.train_step(synthetic_batch(cfg, rng))
+        m = trainer.train_step(synthetic_batch(
+            cfg, rng, num_objects=args.objects, random_entry=True))
         if step % 100 == 0:
             print(f"stage1 step {step}: loss={float(m['loss']):.4f}",
                   flush=True)
@@ -111,13 +118,16 @@ def main(argv=None):
     if args.steps2 > 0:
         from cvpr2020_manet_tpu.engine.train_stage2 import Stage2Trainer
         cfg2 = dataclasses.replace(
-            cfg, train=dataclasses.replace(cfg.train,
-                                           total_steps=args.steps2))
+            cfg, train=dataclasses.replace(
+                cfg.train, total_steps=args.steps2,
+                crop_size=(args.crop2, args.crop2),
+                stage2_rounds=args.rounds2))
         t2 = Stage2Trainer(cfg2)
         t2.state = t2.state.replace(params=params)
         t0 = time.time()
         for step in range(args.steps2):
-            m = t2.train_step(synthetic_batch(cfg2, rng))
+            m = t2.train_step(synthetic_batch(
+                cfg2, rng, num_objects=args.objects, random_entry=True))
             if step % 100 == 0:
                 print(f"stage2 step {step}: loss={float(m['loss']):.4f}",
                       flush=True)
@@ -132,6 +142,11 @@ def main(argv=None):
         export_release(params, args.release)
         print(f"release exported to {args.release}", flush=True)
     variables = {"params": params}
+    # evaluate with the PRODUCTION model (plain eval kernels, not the
+    # trainer's custom-VJP argmin variants) — same params, same masks,
+    # and the round latency matches what eval_davis/bench.py ship
+    from cvpr2020_manet_tpu.models import MANet
+    model = MANet(cfg.model, matching_backend="auto")
 
     # Non-saturating eval task: objects enter at staggered mid-sequence
     # frames — rounds whose annotated frame precedes an object's entry
