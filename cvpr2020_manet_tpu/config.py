@@ -100,6 +100,15 @@ class EvalConfig:
     # semantics, SURVEY.md C8). "stacked": literal matching against ALL
     # stored rounds' annotated pixels (BASELINE config 3/5).
     matching_memory: str = "min_fused"
+    # Leaky min-fusion: before each round, stored global-map minima relax
+    # toward 1.0 by this fraction (d -> 1 - (1-d)*(1-refresh)). 0.0 =
+    # reference semantics (minima persist forever); 1.0 = fresh maps
+    # every round (isolates C8 from the MA gate C7, which ablate_memory
+    # removes together). Motivation (docs/QUALITY.md): on tasks where
+    # objects ENTER mid-video, background minima recorded before an
+    # object's entry persist at its future locations and can outweigh
+    # the memory's benefit — a property of hard min-fusion itself.
+    gmap_refresh: float = 0.0
     # Mask readback stride: probabilities are bilinearly upsampled to
     # image_resolution/mask_stride on device, argmaxed, and the label map
     # is nearest-expanded on the host. 1 = exact full-resolution argmax

@@ -223,6 +223,12 @@ class Evaluator:
         if self.ablate_memory:
             is_first = jnp.asarray(True)     # re-seed: no MA fusion (C7)
             gmap_mem = jnp.ones_like(gmap_mem)   # no min-fusion (C8)
+        elif self.cfg.eval.gmap_refresh > 0.0:
+            # leaky min-fusion (config.EvalConfig.gmap_refresh): stored
+            # minima relax toward 1.0 once per round, bounding how long a
+            # stale match can dominate
+            r = self.cfg.eval.gmap_refresh
+            gmap_mem = 1.0 - (1.0 - gmap_mem) * (1.0 - r)
         int_mem = model.apply(variables, int_feats, int_mem, is_first,
                               method=model.aggregate_memory)
         int_logits = int_logits + (1.0 - obj_valid)[None, None, :] * neg_inf

@@ -68,6 +68,11 @@ def main(argv=None):
                    help="also run the memory-ablated protocol (MA delta)")
     p.add_argument("--release", default=None,
                    help="export dir for the trained release checkpoint")
+    p.add_argument("--eval_release", default=None,
+                   help="skip training; load params from this release dir "
+                        "and run the eval protocol only")
+    p.add_argument("--gmap_refresh", type=float, default=0.0,
+                   help="leaky min-fusion fraction (config.EvalConfig)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model + tiny eval resolution (CPU logic "
@@ -100,6 +105,27 @@ def main(argv=None):
         cfg, train=dataclasses.replace(
             cfg.train, crop_size=(args.crop, args.crop),
             batch_size=args.batch, total_steps=args.steps1))
+
+    if args.gmap_refresh > 0.0:
+        cfg = dataclasses.replace(
+            cfg, eval=dataclasses.replace(cfg.eval,
+                                          gmap_refresh=args.gmap_refresh))
+    if args.eval_release:
+        from cvpr2020_manet_tpu.models import MANet
+        from cvpr2020_manet_tpu.utils.checkpoint import load_release
+        model = MANet(cfg.model, matching_backend="auto")
+        h, w = cfg.eval.image_size
+        hp = h + (-h) % cfg.eval.pad_to
+        wp = w + (-w) % cfg.eval.pad_to
+        o = cfg.model.max_objects + 1
+        import jax.numpy as jnp
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, hp, wp, 3)),
+            jnp.zeros((1, hp // 4, wp // 4, o)),
+            jnp.zeros((1, hp // 4, wp // 4, o)))
+        params = load_release(variables["params"], args.eval_release)
+        print(f"eval-only: params from {args.eval_release}", flush=True)
+        return _eval_leg(args, cfg, model, {"params": params})
 
     trainer = Trainer(cfg)
     rng = np.random.default_rng(0)
@@ -141,12 +167,19 @@ def main(argv=None):
         from cvpr2020_manet_tpu.utils.checkpoint import export_release
         export_release(params, args.release)
         print(f"release exported to {args.release}", flush=True)
-    variables = {"params": params}
     # evaluate with the PRODUCTION model (plain eval kernels, not the
     # trainer's custom-VJP argmin variants) — same params, same masks,
     # and the round latency matches what eval_davis/bench.py ship
     from cvpr2020_manet_tpu.models import MANet
     model = MANet(cfg.model, matching_backend="auto")
+    return _eval_leg(args, cfg, model, {"params": params})
+
+
+def _eval_leg(args, cfg, model, variables):
+    import dataclasses  # noqa: F401  (kept for parity with main)
+    import jax  # noqa: F401
+    from cvpr2020_manet_tpu.data import SyntheticDataset
+    from cvpr2020_manet_tpu.engine.evaluator import Evaluator
 
     # Non-saturating eval task: objects enter at staggered mid-sequence
     # frames — rounds whose annotated frame precedes an object's entry
@@ -160,7 +193,8 @@ def main(argv=None):
                           scribble_sets=args.sets, seed=77,
                           entry_frames=entry)
     print(f"eval task: {args.sequences} seq x {args.sets} sets, "
-          f"{args.objects} objects entering at frames {entry}", flush=True)
+          f"{args.objects} objects entering at frames {entry}, "
+          f"gmap_refresh={cfg.eval.gmap_refresh}", flush=True)
 
     ev = Evaluator(cfg, model, variables)
     summary, per_round = run_protocol(ev, ds, args.rounds)

@@ -206,6 +206,39 @@ def test_segmented_round_matches_monolithic(memory_mode, backend):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_gmap_refresh_leaky_min_fusion(eval_setup):
+    """gmap_refresh=0 is exact reference semantics (same masks as the
+    default config); refresh>0 relaxes stored minima each round — after
+    two rounds the device gmap memory must sit strictly closer to 1.0
+    than the never-relaxed memory (leaky min-fusion, round 3)."""
+    import dataclasses
+
+    cfg, ds, model, variables = eval_setup
+    seq = ds.sequences()[0]
+    gt = ds.gt_masks(seq)
+    scr = ds.initial_scribbles(seq, 0).to_json()
+
+    runs = {}
+    for refresh in (0.0, 0.5):
+        c = dataclasses.replace(
+            cfg, eval=dataclasses.replace(cfg.eval, gmap_refresh=refresh))
+        ev = Evaluator(c, model, variables)
+        st = ev.start_sequence(ds.images(seq), ds.num_objects(seq))
+        m1 = ev.run_round(st, scr, gt.shape[1:], ds.num_objects(seq))
+        m2 = ev.run_round(st, scr, gt.shape[1:], ds.num_objects(seq))
+        runs[refresh] = (m1, m2, np.asarray(st.gmap_mem))
+
+    ev_default = Evaluator(cfg, model, variables)
+    st = ev_default.start_sequence(ds.images(seq), ds.num_objects(seq))
+    d1 = ev_default.run_round(st, scr, gt.shape[1:], ds.num_objects(seq))
+    np.testing.assert_array_equal(runs[0.0][0], d1)   # 0.0 == reference
+
+    # relaxed memory is strictly weaker (closer to 1) where minima exist
+    g0, g5 = runs[0.0][2], runs[0.5][2]
+    assert g5.mean() > g0.mean()
+    assert g5.min() >= g0.min()
+
+
 def test_label_count_aware_bits(rng):
     """Bit depth follows the LIVE label count; 1-bit packing (1-object
     sequences, half the bytes of the bucket code) round-trips."""
