@@ -45,10 +45,16 @@ from cvpr2020_manet_tpu.models.manet import MANet
 
 
 class StreamingIVOS:
-    def __init__(self, cfg: Config, model: MANet, variables):
+    def __init__(self, cfg: Config, model: MANet, variables, cp_mesh=None):
+        """cp_mesh: optional ('data','context') mesh — the LIVE memory
+        pages shard over 'context' and each device matches its shard on
+        the production backend, combined with an all-gather-min
+        (parallel/cp_matching.py). The capacity scaling story for
+        unbounded corrections at 1080p (BASELINE config 5)."""
         self.cfg = cfg
         self.model = model
         self.variables = variables
+        self.cp_mesh = cp_mesh
         self.o = cfg.model.max_objects + 1
         self.stride = cfg.model.feature_stride
         h, w = cfg.eval.image_size
@@ -60,6 +66,9 @@ class StreamingIVOS:
         if backend == "auto":
             backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
         self.use_pallas = backend.startswith("pallas")
+        self._cp_backend = ("pallas_interpret"
+                            if backend == "pallas_interpret"
+                            else "pallas" if self.use_pallas else "jnp")
         # n_rows static: the matching memory is sliced to the LIVE page
         # count before matching (one cached compile per power-of-2 page
         # bucket) — a stream that has seen 1 correction matches 1 page,
@@ -141,11 +150,20 @@ class StreamingIVOS:
         f_t, e_t = feat[0], emb[0]
         head_fp = model.apply(variables, f_t,
                               method=model.head_feat_contrib)
+        gmap_override = None
+        if self.cp_mesh is not None:
+            from cvpr2020_manet_tpu.parallel.cp_matching import (
+                context_parallel_matching)
+            ce = e_t.shape[-1]
+            gmap_override = context_parallel_matching(
+                e_t.reshape(-1, ce), mem_emb, mem_onehot,
+                jnp.ones((mem_emb.shape[0],), jnp.float32), self.cp_mesh,
+                backend=self._cp_backend).reshape(self.hh, self.ww, o)
         logits, _ = model.apply(
             variables, f_t, e_t, mem_emb, mem_onehot, None,
             jnp.ones((self.hh, self.ww, o), jnp.float32),
             prev_emb, prev_probs, int_mem, obj_valid,
-            method=model.propagate,
+            method=model.propagate, gmap_override=gmap_override,
             head_pre=head_fp[None] + head_mem_pre)
         logits = logits + (1.0 - obj_valid)[None, None, :] * (-1e9)
         probs = jax.nn.softmax(logits, axis=-1)

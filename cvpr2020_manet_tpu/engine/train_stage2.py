@@ -187,8 +187,13 @@ def forward_sample_stage2(model: MANet, params, images, labels, obj_valid,
         return (new_probs, int_mem), logits
 
     keys = jax.random.split(key, rounds)
+    # remat each simulated round: the R-round scan otherwise holds every
+    # round's full activation set for the backward pass — crop 256 x 3
+    # rounds exceeds a 16G v5e (17.7G requested); recomputing the round
+    # forward during backprop trades ~1/3 more FLOPs for R x less
+    # activation memory (SURVEY.md §8 / brief: jax.checkpoint)
     (_, _), logits_rounds = jax.lax.scan(
-        round_step, (init_probs, init_mem),
+        jax.checkpoint(round_step), (init_probs, init_mem),
         (jnp.arange(rounds), keys))                        # (R, F, hh, ww, O)
 
     up = jax.vmap(jax.vmap(lambda l: resize_bilinear(l, (h, w))))(

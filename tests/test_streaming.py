@@ -91,3 +91,14 @@ def test_streaming_live_pages_and_async():
     s2.correct(scr.to_json())
     m_async = s2.observe_async(images[1]).result()
     np.testing.assert_array_equal(m_sync, m_async)
+
+    # context-parallel path: live pages sharded over 'context',
+    # all-gather-min combine — identical masks to single-device
+    from cvpr2020_manet_tpu.parallel.mesh import create_mesh
+    s3 = StreamingIVOS(cfg, model, variables,
+                       cp_mesh=create_mesh(data=2, context=4))
+    s3.reset(num_objects=1)
+    s3.observe(images[0])
+    s3.correct(scr.to_json())
+    m_cp = s3.observe(images[1])
+    np.testing.assert_array_equal(m_sync, m_cp)
