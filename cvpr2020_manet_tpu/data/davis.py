@@ -73,14 +73,18 @@ class DavisEvalDataset:
         files = self._frame_files(seq, "Annotations", ".png")
         return np.stack([load_indexed_png(f) for f in files])
 
-    @functools.lru_cache(maxsize=None)
     def num_objects(self, seq: str) -> int:
         # max over ALL frames: an object absent from frame 0 (possible in
         # non-DAVIS adapters reusing this interface) must still be scored.
-        # Memoized (ints are tiny): callers hit this per round and the
-        # gt_masks LRU only holds 4 sequences — a miss here would re-decode
-        # every GT PNG of the sequence inside the session's time budget.
-        return int(self.gt_masks(seq).max())
+        # Memoized in a per-instance dict (ints are tiny; an lru_cache on
+        # the method would pin `self` — and its cached frame arrays — for
+        # process lifetime): callers hit this per round and the gt_masks
+        # LRU only holds 4 sequences — a miss would re-decode every GT
+        # PNG of the sequence inside the session's time budget.
+        cache = self.__dict__.setdefault("_num_objects_cache", {})
+        if seq not in cache:
+            cache[seq] = int(self.gt_masks(seq).max())
+        return cache[seq]
 
     def num_scribble_sets(self, seq: str) -> int:
         return self.scribble_sets

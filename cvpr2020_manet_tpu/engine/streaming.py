@@ -73,9 +73,14 @@ class StreamingIVOS:
         # count before matching (one cached compile per power-of-2 page
         # bucket) — a stream that has seen 1 correction matches 1 page,
         # not capacity pages (8x less matching FLOPs + bucketing sort)
+        # bits static too: reset() can change the live mask bit depth
+        # without changing any traced shape, so it must key the trace
+        # (a cached trace with stale pack bits + fresh unpack bits
+        # produced wrong-width masks)
         self._observe = jax.jit(self._observe_impl,
-                                static_argnames=("n_rows",))
-        self._correct = jax.jit(self._correct_impl)
+                                static_argnames=("n_rows", "bits"))
+        self._correct = jax.jit(self._correct_impl,
+                                static_argnames=("bits",))
         self.state = None
         from cvpr2020_manet_tpu.engine.evaluator import _FETCH_POOL
         self._fetch_pool = _FETCH_POOL
@@ -124,7 +129,7 @@ class StreamingIVOS:
 
     def _observe_impl(self, image, mem_emb, mem_onehot, int_mem,
                       prev_emb, prev_probs, obj_valid, has_memory,
-                      head_mem_pre, *, n_rows):
+                      head_mem_pre, *, n_rows, bits):
         model, variables = self.model, self.variables
         o = mem_onehot.shape[-1]
         # matching memory restricted to the live pages (pages fill in
@@ -170,12 +175,12 @@ class StreamingIVOS:
         # before any correction there is no memory: everything background
         probs = jnp.where(has_memory, probs,
                           jnp.zeros_like(probs).at[..., 0].set(1.0))
-        mask = self._mask(probs)
+        mask = self._mask(probs, bits)
         return f_t, e_t, probs, mask
 
     def _correct_impl(self, cur_feat, cur_emb, cur_probs, pos, neg,
                       mem_emb, mem_onehot, int_mem, obj_valid, round_idx,
-                      is_first):
+                      is_first, *, bits):
         model, variables = self.model, self.variables
         o = mem_onehot.shape[-1]
         int_feats, int_logits = model.apply(
@@ -192,19 +197,21 @@ class StreamingIVOS:
         off = round_idx * ref.shape[0]
         mem_emb = jax.lax.dynamic_update_slice(mem_emb, ref, (off, 0))
         mem_onehot = jax.lax.dynamic_update_slice(mem_onehot, onehot, (off, 0))
-        mask = self._mask(probs)
+        mask = self._mask(probs, bits)
         head_mem_pre = model.apply(variables, int_mem,
                                    method=model.head_mem_contrib)
         return probs, mem_emb, mem_onehot, int_mem, mask, head_mem_pre
 
-    def _mask(self, probs):
+    def _mask(self, probs, bits):
         """Full-res argmax labels, BIT-PACKED for the transfer at the live
         label count (the raw int32 map is 8.3 MB at 1080p — ~0.8 s on the
-        sandbox link; 2-bit packing is ~0.5 MB, 1-bit half that)."""
+        sandbox link; 2-bit packing is ~0.5 MB, 1-bit half that). `bits`
+        is a static jit arg of the callers: reset() may change it with no
+        traced-shape change."""
         from cvpr2020_manet_tpu.engine.evaluator import pack_labels
         up = resize_bilinear(probs, (self.hp, self.wp))
         lab = jnp.argmax(up, axis=-1).astype(jnp.uint8)
-        return pack_labels(lab, self._bits)
+        return pack_labels(lab, bits)
 
     def _unpack(self, packed) -> np.ndarray:
         from cvpr2020_manet_tpu.engine.evaluator import unpack_labels
@@ -226,6 +233,7 @@ class StreamingIVOS:
         image (H, W, 3): uint8 raw RGB (preferred — 4x cheaper over the
         host link, normalized on device) or float32 already
         ImageNet-normalized."""
+        assert self.state is not None, "call reset(num_objects) first"
         st = self.state
         if image.dtype != np.uint8:
             image = image.astype(np.float32)
@@ -235,7 +243,8 @@ class StreamingIVOS:
             st["int_mem"], st["prev_emb"], st["prev_probs"],
             st["obj_valid"], jnp.asarray(st["rounds"] > 0),
             st["head_mem_pre"],
-            n_rows=self.live_pages() * self.hh * self.ww)
+            n_rows=self.live_pages() * self.hh * self.ww,
+            bits=self._bits)
         st["prev_emb"], st["prev_probs"] = e_t, probs
         st["cur_feat"], st["cur_emb"], st["cur_probs"] = f_t, e_t, probs
         st["frame_idx"] += 1
@@ -277,7 +286,8 @@ class StreamingIVOS:
                 jnp.asarray(pos), jnp.asarray(neg),
                 st["mem_emb"], st["mem_onehot"], st["int_mem"],
                 st["obj_valid"],
-                jnp.asarray(r, jnp.int32), jnp.asarray(st["rounds"] == 0))
+                jnp.asarray(r, jnp.int32), jnp.asarray(st["rounds"] == 0),
+                bits=self._bits)
         st.update(mem_emb=mem_emb, mem_onehot=mem_onehot, int_mem=int_mem,
                   cur_probs=probs, prev_probs=probs,
                   head_mem_pre=head_mem_pre)

@@ -225,7 +225,16 @@ class InteractiveScribblesRobot:
                     region, labels2, index=np.arange(1, n2 + 1))
                 region = labels2 == (1 + int(np.argmax(sizes2)))
         pre_thin = region
-        skel = _zhang_suen_thin(region)
+        # thin only the region's bounding box (native/robot.cpp restricts
+        # its sweeps the same way): each Zhang-Suen subiteration is a
+        # full-array vectorized pass, and sweep count scales with region
+        # thickness — full-frame sweeps at 480p/1080p cost seconds where
+        # the bbox costs milliseconds
+        ys, xs = np.nonzero(region)
+        y0, y1 = ys.min(), ys.max() + 1
+        x0, x1 = xs.min(), xs.max() + 1
+        skel = np.zeros_like(region)
+        skel[y0:y1, x0:x1] = _zhang_suen_thin(region[y0:y1, x0:x1])
         path = _diameter_path(skel) if skel.any() else []
         if len(path) < p.min_path_nodes:
             path = _diameter_path(pre_thin)

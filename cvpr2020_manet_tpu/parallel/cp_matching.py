@@ -92,13 +92,20 @@ def ring_pallas(query, ref_shard, onehot_shard, valid_shard, axis_name,
     """Kernel-level ring schedule: the bucketed shards rotate via
     inter-chip RDMA INSIDE one Pallas kernel (ops/ring_matching_pallas),
     the send overlapping each step's full matching pass — no per-fold
-    XLA collective, no gather buffer. Call INSIDE shard_map."""
+    XLA collective, no gather buffer. Call INSIDE shard_map.
+
+    The schedule IS the Pallas kernel, so `backend` only selects
+    hardware vs interpreter: anything except an explicit "pallas" runs
+    in interpret mode off-TPU (the default backend="jnp" would otherwise
+    try to lower TPU RDMA ops for the CPU mesh and crash)."""
     from cvpr2020_manet_tpu.ops.ring_matching_pallas import (
         ring_matching_shard)
     oh = onehot_shard * valid_shard.astype(onehot_shard.dtype)[:, None]
+    interp = (backend != "pallas"
+              and jax.default_backend() != "tpu") or \
+        backend == "pallas_interpret"
     return ring_matching_shard(
-        query, ref_shard, oh, axis_name=axis_name,
-        interpret=(backend == "pallas_interpret"))
+        query, ref_shard, oh, axis_name=axis_name, interpret=interp)
 
 
 def context_parallel_matching(

@@ -130,6 +130,7 @@ def main(argv=None):
     trainer = Trainer(cfg)
     rng = np.random.default_rng(0)
     t0 = time.time()
+    m = {"loss": float("nan")}
     for step in range(args.steps1):
         m = trainer.train_step(synthetic_batch(
             cfg, rng, num_objects=args.objects, random_entry=True))

@@ -102,3 +102,25 @@ def test_streaming_live_pages_and_async():
     s3.correct(scr.to_json())
     m_cp = s3.observe(images[1])
     np.testing.assert_array_equal(m_sync, m_cp)
+
+    # reset() to a DIFFERENT object count reuses the same traced shapes
+    # but a different mask bit depth — the packed/unpacked widths must
+    # stay consistent (regression: stale bits baked into the cached
+    # trace produced wrong-width masks)
+    s4 = StreamingIVOS(cfg, model, variables)
+    s4.reset(num_objects=1)
+    s4.observe(images[0])
+    assert s4._bits == 1
+    s4.reset(num_objects=2)
+    assert s4._bits == 2
+    m_re = s4.observe(images[0])
+    assert m_re.shape == (h, w)
+    assert (m_re == 0).all()        # fresh state: all background
+    ds2 = SyntheticDataset(image_size=(h, w), num_frames=2,
+                           num_sequences=1, num_objects=2)
+    seq2 = ds2.sequences()[0]
+    gt2 = ds2.gt_masks(seq2)
+    scr2 = robot.scribble_frame(np.zeros_like(gt2[0]), gt2[0], 2, 0, 1,
+                                seq2)
+    m_c = s4.correct(scr2.to_json())
+    assert m_c.shape == (h, w) and m_c.max() <= 2
