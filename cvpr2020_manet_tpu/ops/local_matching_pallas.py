@@ -160,8 +160,8 @@ def local_matching_pallas_argmin(
         in_specs=[
             pl.BlockSpec((nq_blk, c_pad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec((o_pad, nq_blk), lambda i: (0, i),
@@ -295,8 +295,8 @@ def local_matching_pallas(
         in_specs=[
             pl.BlockSpec((nq_blk, c_pad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),     # k2 (strips DMA'd)
-            pl.BlockSpec(memory_space=pltpu.ANY),     # kno
+            pl.BlockSpec(memory_space=pl.ANY),     # k2 (strips DMA'd)
+            pl.BlockSpec(memory_space=pl.ANY),     # kno
         ],
         out_specs=pl.BlockSpec((o_pad, nq_blk), lambda i: (0, i),
                                memory_space=pltpu.VMEM),

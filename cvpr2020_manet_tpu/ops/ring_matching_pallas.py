@@ -242,7 +242,7 @@ def ring_matching_shard(
     grid = (n, nqb, nkb)
     kernel = functools.partial(_ring_kernel, n_steps=n,
                                axis_name=axis_name)
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     out, *_state = pl.pallas_call(
         kernel,
         out_shape=(

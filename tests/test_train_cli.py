@@ -54,6 +54,25 @@ def test_stage2_cli_davis_root_with_clip_padding(davis_root):  # noqa: F811
           "--clip_len", "6"])
 
 
+def test_bench_train_cli_smoke(capsys):
+    """scripts/bench_train.py prints one parsable JSON line per stage."""
+    import importlib.util
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), os.pardir, "scripts",
+                        "bench_train.py")
+    spec = importlib.util.spec_from_file_location("bench_train", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    for stage in ("1", "2"):
+        mod.main(["--stage", stage, "--tiny", "--batch", "1", "--crop",
+                  "64", "--steps", "1", "--warmup", "1"])
+        rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rec["metric"] == f"train_stage{stage}_clips_per_sec"
+        assert rec["value"] > 0 and np.isfinite(rec["final_loss"])
+
+
 def test_stage2_cli_grain(davis_root):  # noqa: F811
     from cvpr2020_manet_tpu.engine.train_stage2 import main
     main(["--tiny", "--steps", "1", "--davis_root", davis_root, "--grain",
