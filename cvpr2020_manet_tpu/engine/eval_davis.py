@@ -80,6 +80,10 @@ def main(argv=None):
                         "pairs with --matching_memory stacked")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model config (smoke tests)")
+    p.add_argument("--host", default=None,
+                   help="http(s) URL of an interactive.service evaluation "
+                        "server: scoring/robot run remotely, local DAVIS "
+                        "supplies the frames (upstream remote mode)")
     args = p.parse_args(argv)
 
     if args.tiny:
@@ -103,8 +107,13 @@ def main(argv=None):
                           scribble_sets=args.scribble_sets)
     evaluator = build_evaluator(cfg, args.checkpoint,
                                 context_parallel=args.context_parallel)
-    session = InteractiveSession(ds, max_interactions=args.rounds,
-                                 max_time=args.max_time)
+    if args.host:
+        from cvpr2020_manet_tpu.interactive.service import RemoteSession
+        session = RemoteSession(args.host, max_nb_interactions=args.rounds,
+                                max_time=args.max_time, images=ds)
+    else:
+        session = InteractiveSession(ds, max_interactions=args.rounds,
+                                     max_time=args.max_time)
 
     on_masks = None
     if args.save_masks:

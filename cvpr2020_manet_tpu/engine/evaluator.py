@@ -749,18 +749,22 @@ class Evaluator:
         callback (e.g. PNG dumping).
         """
         states: dict[tuple, SequenceState] = {}
+        hw: dict[tuple, tuple] = {}   # full-res (H, W) per item
         with session as sess:
             while sess.next():
                 seq, scribbles, first = sess.get_scribbles(only_last=True)
                 key = sess.current
                 if key not in states:
+                    # Masks are scored at image resolution; the model loop
+                    # never touches ground truth (a RemoteSession's dataset
+                    # view has images/num_objects but no gt_masks).
                     images = sess.dataset.images(seq)
+                    hw[key] = images.shape[1:3]
                     states[key] = self.start_sequence(
                         images, sess.dataset.num_objects(seq))
                 st = states[key]
-                gt_hw = sess.dataset.gt_masks(seq).shape[1:]
                 masks = self.run_round(
-                    st, scribbles, gt_hw, sess.dataset.num_objects(seq))
+                    st, scribbles, hw[key], sess.dataset.num_objects(seq))
                 if on_masks is not None:
                     on_masks(seq, key[1], st.round_idx - 1, masks)
                 sess.submit_masks(masks)

@@ -202,9 +202,33 @@ class DavisInteractiveSession(InteractiveSession):
                                      max_time=None) as sess:
             while sess.next(): ...
 
-    `host` is accepted and ignored (this implementation IS the local
-    service; there is no remote mode). Pass `dataset=` to skip the DAVIS
-    tree and use any adapter (e.g. the synthetic fixture)."""
+    As upstream, `host` selects the mode: `'localhost'` (or any non-URL)
+    runs the in-process local service; an `http(s)://` URL returns a
+    `RemoteSession` speaking to an `interactive.service` evaluation
+    server (the server owns dataset, ground truth, robot, and the
+    clock — `key`/`davis_root`/`subset` are server-side there). Pass
+    `dataset=` to skip the DAVIS tree and use any adapter (e.g. the
+    synthetic fixture)."""
+
+    def __new__(cls, host: str = "localhost", key: str = "",
+                davis_root: Optional[str] = None, subset: str = "val",
+                max_nb_interactions: int = 8,
+                max_time: Optional[float] = None,
+                metric_to_optimize: str = "J_AND_F",
+                dataset=None, **kwargs):
+        if isinstance(host, str) and host.startswith(("http://", "https://")):
+            from cvpr2020_manet_tpu.interactive.service import RemoteSession
+            if dataset is None and davis_root is not None:
+                # client-local frames (the model side owns the video; the
+                # server owns ground truth + scoring)
+                from cvpr2020_manet_tpu.data.davis import DavisEvalDataset
+                dataset = DavisEvalDataset(davis_root, subset=subset)
+            # not an instance of cls -> __init__ below is skipped
+            return RemoteSession(
+                host, max_nb_interactions=max_nb_interactions,
+                max_time=max_time, metric_to_optimize=metric_to_optimize,
+                images=dataset)
+        return super().__new__(cls)
 
     def __init__(self, host: str = "localhost", key: str = "",
                  davis_root: Optional[str] = None, subset: str = "val",
