@@ -139,6 +139,8 @@ def main(argv=None):
         "p50_round_latency_s": round(float(np.median(lat)), 4) if lat.size else None,
         "rounds_run": int(lat.size),
     }))
+    if args.host:
+        session.close()  # free the server-side session (report is in hand)
 
 
 if __name__ == "__main__":

@@ -90,6 +90,18 @@ def mask_bits_for_labels(num_labels: int) -> int:
     return 8
 
 
+def live_page_bucket(rounds: int, capacity: int) -> int:
+    """Pages of stacked matching memory to actually match: the filled
+    count rounded up to a power of 2, capped at capacity — one cached
+    compile per bucket (log2(capacity)+1 graphs), shared by the
+    interactive evaluator and the streaming server."""
+    r = max(1, min(rounds, capacity))
+    p = 1
+    while p < r:
+        p *= 2
+    return min(p, capacity)
+
+
 def unpack_labels(packed: np.ndarray, bits: int) -> np.ndarray:
     """Inverse of the device-side W-axis bit packing in `_masks_impl`:
     (..., W // ppb) uint8 -> (..., W) uint8, ppb = 8 // bits.
@@ -642,14 +654,11 @@ class Evaluator:
             r = min(state.round_idx, self.cfg.eval.max_interactions - 1)
             kw = dict(round_idx=jnp.asarray(r, jnp.int32),
                       mem_emb=state.mem_emb, mem_onehot=state.mem_onehot)
-            # live-round slicing: match only the filled slots, rounded up
-            # to a power of 2 (one cached compile per bucket)
+            # live-round slicing: match only the filled slots
+            # (live_page_bucket caps the compile count)
             hh, ww = state.feat.shape[1:3]
-            bucket = 1
-            while bucket < r + 1:
-                bucket *= 2
-            bucket = min(bucket, self.cfg.eval.max_interactions)
-            live_rows = bucket * hh * ww
+            live_rows = live_page_bucket(
+                r + 1, self.cfg.eval.max_interactions) * hh * ww
         args = (state.feat, state.emb, jnp.asarray(raster, jnp.int8),
                 jnp.asarray(annot, jnp.int32), state.prev_masks,
                 state.gmap_mem, state.int_mem,

@@ -173,14 +173,12 @@ class BatchPropagator:
                   num_objects: np.ndarray) -> np.ndarray:
         """Host API. frames_u8 (B,T,H,W,3) uint8; first_masks (B,h,w) int
         at feature resolution; num_objects (B,)."""
-        from cvpr2020_manet_tpu.engine.evaluator import Evaluator
         b, t, h_img, w_img, _ = frames_u8.shape
-        bits = Evaluator._mask_bits(self.o)
-        assert w_img % (8 // bits) == 0, \
-            f"width {w_img} must be a multiple of {8 // bits} (pad_to)"
         extracted = self.upload(frames_u8.reshape(b * t, h_img, w_img, 3))
         fetches, bits = self.dispatch(extracted, first_masks, num_objects,
                                       (b, t))
+        assert w_img % (8 // bits) == 0, \
+            f"width {w_img} must be a multiple of {8 // bits} (pad_to)"
         return self.drain(fetches, bits)
 
 

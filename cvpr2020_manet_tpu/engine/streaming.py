@@ -213,10 +213,12 @@ class StreamingIVOS:
         lab = jnp.argmax(up, axis=-1).astype(jnp.uint8)
         return pack_labels(lab, bits)
 
-    def _unpack(self, packed) -> np.ndarray:
+    def _unpack(self, packed, bits: int) -> np.ndarray:
+        # bits is bound at DISPATCH time: a reset() that changes the
+        # stream's bit depth must not re-interpret masks still in flight
         from cvpr2020_manet_tpu.engine.evaluator import unpack_labels
         h, w = self.cfg.eval.image_size
-        lab = unpack_labels(np.asarray(packed), self._bits)
+        lab = unpack_labels(np.asarray(packed), bits)
         return lab[:h, :w].astype(np.int32)
 
     # ------------------------------------------------------------------ #
@@ -248,7 +250,7 @@ class StreamingIVOS:
         st["prev_emb"], st["prev_probs"] = e_t, probs
         st["cur_feat"], st["cur_emb"], st["cur_probs"] = f_t, e_t, probs
         st["frame_idx"] += 1
-        return self._fetch_pool.submit(self._unpack, mask)
+        return self._fetch_pool.submit(self._unpack, mask, self._bits)
 
     def observe(self, image: np.ndarray) -> np.ndarray:
         """Synchronous observe: same masks as observe_async, serialized
@@ -256,15 +258,12 @@ class StreamingIVOS:
         return self.observe_async(image).result()
 
     def live_pages(self) -> int:
-        """Matching-memory pages actually holding data, rounded up to a
-        power of 2 (bounds the observe graph count to log2(capacity)+1
-        cached compiles). Round count is host state, so this is static
-        per call — the unbounded-memory axis only costs what it holds."""
-        r = max(1, min(self.state["rounds"], self.capacity))
-        p = 1
-        while p < r:
-            p *= 2
-        return min(p, self.capacity)
+        """Matching-memory pages actually holding data (power-of-2
+        bucketed — see evaluator.live_page_bucket). Round count is host
+        state, so this is static per call — the unbounded-memory axis
+        only costs what it holds."""
+        from cvpr2020_manet_tpu.engine.evaluator import live_page_bucket
+        return live_page_bucket(self.state["rounds"], self.capacity)
 
     def correct(self, scribbles_json) -> np.ndarray:
         """User scribbles on the newest frame -> refreshed mask; the
@@ -292,4 +291,4 @@ class StreamingIVOS:
                   cur_probs=probs, prev_probs=probs,
                   head_mem_pre=head_mem_pre)
         st["rounds"] += 1
-        return self._unpack(mask)
+        return self._unpack(mask, self._bits)

@@ -52,15 +52,27 @@ from cvpr2020_manet_tpu.interactive.session import (
     REPORT_COLUMNS, InteractiveSession)
 
 
-class EvaluationService:
-    """Server-side registry: one `InteractiveSession` per session id."""
+class UnknownSession(KeyError):
+    pass
 
-    def __init__(self, dataset, *, robot=None):
+
+class EvaluationService:
+    """Server-side registry: one `InteractiveSession` per session id.
+
+    Sessions outlive the protocol loop (reports stay queryable) but the
+    registry is bounded: past `max_sessions`, the oldest session is
+    evicted — a long-running server does not accumulate report rows
+    without bound. `DELETE /api/session/<id>` frees one eagerly."""
+
+    def __init__(self, dataset, *, robot=None, max_sessions: int = 64):
         self.dataset = dataset
         self.robot = robot
+        self.max_sessions = max_sessions
+        # insertion-ordered -> oldest-first eviction
         self._sessions: Dict[str, InteractiveSession] = {}
         self._locks: Dict[str, threading.Lock] = {}
         self._registry_lock = threading.Lock()
+        self._info: Optional[Dict[str, Any]] = None
 
     def start_session(self, *, max_nb_interactions: int = 8,
                       max_time: Optional[float] = None,
@@ -71,6 +83,9 @@ class EvaluationService:
             robot=self.robot)
         sid = uuid.uuid4().hex[:12]
         with self._registry_lock:
+            while len(self._sessions) >= self.max_sessions:
+                oldest = next(iter(self._sessions))
+                del self._sessions[oldest], self._locks[oldest]
             self._sessions[sid] = sess
             self._locks[sid] = threading.Lock()
         return sid
@@ -78,7 +93,7 @@ class EvaluationService:
     def get(self, sid: str) -> Tuple[InteractiveSession, threading.Lock]:
         with self._registry_lock:
             if sid not in self._sessions:
-                raise KeyError(sid)
+                raise UnknownSession(sid)
             return self._sessions[sid], self._locks[sid]
 
     def close_session(self, sid: str) -> None:
@@ -87,17 +102,23 @@ class EvaluationService:
             self._locks.pop(sid, None)
 
     def dataset_info(self) -> Dict[str, Any]:
-        """Public (non-ground-truth) dataset metadata for clients."""
-        ds = self.dataset
-        seqs = list(ds.sequences())
-        return {
-            "sequences": seqs,
-            "num_objects": {s: int(ds.num_objects(s)) for s in seqs},
-            "num_scribble_sets": {
-                s: int(ds.num_scribble_sets(s)) for s in seqs},
-            "num_frames": {
-                s: int(ds.gt_masks(s).shape[0]) for s in seqs},
-        }
+        """Public (non-ground-truth) dataset metadata for clients.
+
+        Computed once and cached: on a real DAVIS tree it decodes every
+        GT PNG (for frame/object counts), which must not happen per
+        request."""
+        if self._info is None:
+            ds = self.dataset
+            seqs = list(ds.sequences())
+            self._info = {
+                "sequences": seqs,
+                "num_objects": {s: int(ds.num_objects(s)) for s in seqs},
+                "num_scribble_sets": {
+                    s: int(ds.num_scribble_sets(s)) for s in seqs},
+                "num_frames": {
+                    s: int(ds.gt_masks(s).shape[0]) for s in seqs},
+            }
+        return self._info
 
 
 def _make_handler(service: EvaluationService):
@@ -130,9 +151,12 @@ def _make_handler(service: EvaluationService):
         # -- verbs --------------------------------------------------------
         def do_POST(self):
             _, parts, _ = self._route()
+            # ALWAYS drain the body first: on a keep-alive connection an
+            # error response with unread body bytes would leave those
+            # bytes to be parsed as the client's next request line
+            raw = self._body()
             try:
                 if parts == ["api", "session"]:
-                    raw = self._body()
                     params = json.loads(raw) if raw else {}
                     sid = service.start_session(
                         max_nb_interactions=int(
@@ -149,16 +173,18 @@ def _make_handler(service: EvaluationService):
                             cur = list(sess.current) if more else None
                         return self._json({"more": more, "current": cur})
                     if parts[3] == "masks":
-                        shape = tuple(int(x) for x in
-                                      self.headers["X-Shape"].split(","))
+                        x_shape = self.headers.get("X-Shape")
+                        if x_shape is None:
+                            return self._error(400, "missing X-Shape header")
+                        shape = tuple(int(x) for x in x_shape.split(","))
                         masks = np.frombuffer(
-                            zlib.decompress(self._body()),
+                            zlib.decompress(raw),
                             dtype=np.uint8).reshape(shape)
                         with lock:
                             sess.submit_masks(masks)
                         return self._json({"ok": True})
                 return self._error(404, f"no route {self.path}")
-            except KeyError as e:
+            except UnknownSession as e:
                 return self._error(404, f"unknown session {e}")
             except Exception as e:  # surface as 400, keep the server up
                 return self._error(400, f"{type(e).__name__}: {e}")
@@ -198,7 +224,7 @@ def _make_handler(service: EvaluationService):
                         "curve": None if curve is None else
                         [np.asarray(c).tolist() for c in curve]})
                 return self._error(404, f"no route {self.path}")
-            except KeyError as e:
+            except UnknownSession as e:
                 return self._error(404, f"unknown session {e}")
             except Exception as e:
                 return self._error(400, f"{type(e).__name__}: {e}")

@@ -140,7 +140,6 @@ def main(argv=None):
     print(f"stage1: {args.steps1} steps in {time.time() - t0:.0f}s "
           f"(final loss {float(m['loss']):.4f})", flush=True)
     params = trainer.state.params
-    model = trainer.model
 
     if args.steps2 > 0:
         from cvpr2020_manet_tpu.engine.train_stage2 import Stage2Trainer
@@ -161,7 +160,6 @@ def main(argv=None):
         print(f"stage2: {args.steps2} steps in {time.time() - t0:.0f}s "
               f"(final loss {float(m['loss']):.4f})", flush=True)
         params = t2.state.params
-        model = t2.model
 
     params = jax.device_get(params)
     if args.release:

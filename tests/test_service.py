@@ -142,6 +142,21 @@ def test_eval_davis_cli_remote_host(davis_root):  # noqa: F811
         srv.shutdown()
 
 
+def test_session_registry_bounded():
+    """The server evicts the oldest session past max_sessions (a
+    long-running evaluation server must not grow without bound)."""
+    from cvpr2020_manet_tpu.interactive.service import EvaluationService
+
+    ds = SyntheticDataset(num_sequences=1, scribble_sets=1, num_frames=2)
+    svc = EvaluationService(ds, max_sessions=3)
+    sids = [svc.start_session() for _ in range(5)]
+    assert len(svc._sessions) == 3
+    for sid in sids[:2]:                      # oldest two evicted
+        with pytest.raises(KeyError):
+            svc.get(sid)
+    svc.get(sids[-1])
+
+
 def test_remote_errors_surface(server):
     srv, ds = server
     port = srv.server_address[1]

@@ -124,3 +124,14 @@ def test_streaming_live_pages_and_async():
                                 seq2)
     m_c = s4.correct(scr2.to_json())
     assert m_c.shape == (h, w) and m_c.max() <= 2
+
+    # a future still pending across reset() decodes at the bits it was
+    # PACKED with, not the post-reset depth (regression: _unpack read
+    # self._bits at drain time)
+    s5 = StreamingIVOS(cfg, model, variables)
+    s5.reset(num_objects=1)
+    ref = s5.observe(images[0])
+    s5.reset(num_objects=1)
+    fut = s5.observe_async(images[0])       # packed at 1 bit/px
+    s5.reset(num_objects=2)                 # stream re-keyed to 2 bits
+    np.testing.assert_array_equal(fut.result(), ref)
