@@ -69,6 +69,18 @@ class TrainConfig:
     bootstrap_ratio: float = 0.25    # top-k fraction for bootstrapped CE
     bootstrap_warmup_steps: int = 20_000  # anneal 1.0 -> bootstrap_ratio
     seed: int = 0
+    # Rematerialize each sample's 3-frame forward in stage 1 (backward
+    # recomputes activations instead of storing them across the whole
+    # per-device batch): batch 4 @ 416^2 needs 23.6G of activations on a
+    # 15.75G v5e without it. ~+1/3 FLOPs, measured cheaper than the HBM
+    # it frees (docs/BENCHMARKS.md training table). Stage 2 remats per
+    # simulated round instead (train_stage2.py).
+    remat: bool = True
+    # Frames per checkpointed encoder chunk in the batched encoder
+    # (train_stage1.encode_batch): the whole device batch's B*3 frames
+    # run as one conv batch, rematted in chunks of ~this many frames so
+    # the backward recompute stays under HBM. 0 = no chunking.
+    remat_chunk: int = 6
     # Stage-2 (interaction + memory aggregation) round simulation
     stage2_rounds: int = 3
     log_every: int = 50

@@ -41,23 +41,69 @@ def _downsample_onehot(labels: jax.Array, stride: int, o: int) -> jax.Array:
     return jax.nn.one_hot(sub, o, dtype=jnp.float32)
 
 
+def encode_batch(model: MANet, params, images: jax.Array,
+                 remat_chunk: int = 0):
+    """Batched encoder over ALL frames of ALL samples.
+
+    images (B, T, H, W, 3) -> feat (B, T, h, w, Cf), emb (B, T, h, w, Ce).
+
+    The B*T frames run as ONE conv batch: the R101's ~300 (fwd+bwd) ops
+    dispatch once for the whole device batch instead of once per sample
+    under the old per-sample lax.map (profiled at 46k op executions /
+    182 ms device per batch-2 step, dominated by per-op overhead — see
+    docs/BENCHMARKS.md training table). When `remat_chunk` > 0 the flat
+    frame batch is processed in checkpointed chunks of ~that many frames
+    (largest divisor), so the backward's recompute materializes at most
+    one chunk of encoder activations (a 23.6G OOM at 12 frames @416^2
+    on a 15.75G v5e otherwise).
+    """
+    b, t = images.shape[:2]
+    n = b * t
+    flat = images.reshape((n,) + images.shape[2:])
+
+    def enc(x):
+        return model.apply({"params": params}, x,
+                           method=model.extract_features)
+
+    if remat_chunk > 0:
+        chunk = next(c for c in range(min(remat_chunk, n), 0, -1)
+                     if n % c == 0)
+        if chunk < n:
+            stacked = flat.reshape((n // chunk, chunk) + flat.shape[1:])
+            feat, emb = jax.lax.map(jax.checkpoint(enc), stacked)
+            feat = feat.reshape((n,) + feat.shape[2:])
+            emb = emb.reshape((n,) + emb.shape[2:])
+        else:
+            feat, emb = jax.checkpoint(enc)(flat)
+    else:
+        feat, emb = enc(flat)
+    unflat = lambda a: a.reshape((b, t) + a.shape[1:])
+    return unflat(feat), unflat(emb)
+
+
 def forward_sample(model: MANet, params, images, labels, obj_valid, cfg,
-                   gmap_fn=None):
+                   gmap_fn=None, feat_emb=None):
     """Loss for ONE triplet sample.
 
     images (3, H, W, 3) float; labels (3, H, W) int (0 = background);
     obj_valid (O,).  Frames: [reference, previous, current].
     gmap_fn(query (Nq,C), ref (Nk,C), ref_onehot (Nk,O)) -> (Nq, O):
     optional external global matching (e.g. context-parallel).
+    feat_emb: optional precomputed (feat (3,h,w,Cf), emb (3,h,w,Ce)) from
+    `encode_batch` — the trainers hoist the encoder out of the per-sample
+    lax.map so it runs batched; `images` may then be None.
     """
     mcfg = cfg.model
     o = mcfg.max_objects + 1
     s = mcfg.feature_stride
-    h, w = images.shape[1:3]
+    h, w = labels.shape[1:3]
     variables = {"params": params}
 
-    feat, emb = model.apply(variables, images,
-                            method=model.extract_features)
+    if feat_emb is None:
+        feat, emb = model.apply(variables, images,
+                                method=model.extract_features)
+    else:
+        feat, emb = feat_emb
     ref_oh = _downsample_onehot(labels[0], s, o)
     prev_oh = _downsample_onehot(labels[1], s, o)
 
@@ -117,18 +163,40 @@ def make_cp_train_step(model: MANet, cfg: Config, mesh):
 
     def per_device(params, step, batch):
         def loss_fn(params):
-            def per_sample(images, labels, obj_valid):
-                ratio = bootstrap_ratio_schedule(
-                    step, tcfg.bootstrap_warmup_steps, tcfg.bootstrap_ratio)
-                int_up, prop_up = forward_sample(
-                    model, params, images, labels, obj_valid, cfg,
-                    gmap_fn=gmap_fn)
-                l_int = bootstrapped_cross_entropy(int_up, labels[0], ratio)
-                l_prop = bootstrapped_cross_entropy(prop_up, labels[2], ratio)
-                return l_prop + 0.5 * l_int
+            ratio = bootstrap_ratio_schedule(
+                step, tcfg.bootstrap_warmup_steps, tcfg.bootstrap_ratio)
+            feat, emb = encode_batch(
+                model, params, batch["images"],
+                tcfg.remat_chunk if tcfg.remat else 0)
+            o = cfg.model.max_objects + 1
+            s = cfg.model.feature_stride
+
+            def per_sample(feat_s, emb_s, labels, obj_valid):
+                # CP matching hoisted out of the remat region (see
+                # make_train_step): the shard_map collectives + kernel run
+                # once in the forward, not again in the backward recompute
+                ce = emb_s.shape[-1]
+                ref_oh = _downsample_onehot(labels[0], s, o)
+                gm = gmap_fn(emb_s[2].reshape(-1, ce),
+                             emb_s[0].reshape(-1, ce),
+                             ref_oh.reshape(-1, o))
+
+                def tail(feat_s, emb_s, gm, labels, obj_valid):
+                    int_up, prop_up = forward_sample(
+                        model, params, None, labels, obj_valid, cfg,
+                        gmap_fn=lambda *_: gm, feat_emb=(feat_s, emb_s))
+                    l_int = bootstrapped_cross_entropy(
+                        int_up, labels[0], ratio)
+                    l_prop = bootstrapped_cross_entropy(
+                        prop_up, labels[2], ratio)
+                    return l_prop + 0.5 * l_int
+
+                tail_fn = jax.checkpoint(tail) if tcfg.remat else tail
+                return tail_fn(feat_s, emb_s, gm, labels, obj_valid)
+
             return jnp.mean(jax.lax.map(
                 lambda xs: per_sample(*xs),
-                (batch["images"], batch["labels"], batch["obj_valid"])))
+                (feat, emb, batch["labels"], batch["obj_valid"])))
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         grads = jax.lax.pmean(jax.lax.pmean(grads, "data"), "context")
@@ -157,22 +225,48 @@ def make_train_step(model: MANet, cfg: Config):
     def loss_fn(params, batch, step):
         ratio = bootstrap_ratio_schedule(
             step, tcfg.bootstrap_warmup_steps, tcfg.bootstrap_ratio)
+        # Encoder hoisted out of the per-sample map: all B*3 frames as one
+        # (chunk-rematted) conv batch — see encode_batch.
+        feat, emb = encode_batch(model, params, batch["images"],
+                                 tcfg.remat_chunk if tcfg.remat else 0)
 
-        def per_sample(images, labels, obj_valid):
-            int_up, prop_up = forward_sample(
-                model, params, images, labels, obj_valid, cfg)
-            l_int = bootstrapped_cross_entropy(int_up, labels[0], ratio)
-            l_prop = bootstrapped_cross_entropy(prop_up, labels[2], ratio)
-            return l_prop + 0.5 * l_int, (l_prop, l_int)
+        o = cfg.model.max_objects + 1
+        s = cfg.model.feature_stride
 
-        # lax.map, not vmap, over the per-device batch: the Pallas
-        # matching kernels (trainable_matching path) use manually-DMA'd
-        # ANY-memory-space operands that Mosaic cannot batch under vmap;
-        # each sample's 3-frame forward already fills the chip
+        def per_sample(feat_s, emb_s, labels, obj_valid):
+            # Global matching hoisted OUT of the remat region: the kernel
+            # runs once in the forward; the checkpointed tail receives the
+            # small (Nq, O) map as an INPUT (remat saves inputs), so the
+            # backward recompute never reruns the kernel — gradients
+            # re-enter it via its custom VJP's stored argmin residuals.
+            ce = emb_s.shape[-1]
+            ref_oh = _downsample_onehot(labels[0], s, o)
+            gm = model._global_matching(
+                emb_s[2].reshape(-1, ce), emb_s[0].reshape(-1, ce),
+                ref_oh.reshape(-1, o), None)
+
+            def tail(feat_s, emb_s, gm, labels, obj_valid):
+                int_up, prop_up = forward_sample(
+                    model, params, None, labels, obj_valid, cfg,
+                    gmap_fn=lambda *_: gm, feat_emb=(feat_s, emb_s))
+                l_int = bootstrapped_cross_entropy(int_up, labels[0], ratio)
+                l_prop = bootstrapped_cross_entropy(prop_up, labels[2],
+                                                    ratio)
+                return l_prop + 0.5 * l_int, (l_prop, l_int)
+
+            # remat: without it the map's backward stores every sample's
+            # tail activations simultaneously (OOM risk at prod crop)
+            tail_fn = jax.checkpoint(tail) if tcfg.remat else tail
+            return tail_fn(feat_s, emb_s, gm, labels, obj_valid)
+
+        # The matching/head/loss tail stays a lax.map, not vmap, over the
+        # per-device batch: the Pallas matching kernels
+        # (trainable_matching path) use manually-DMA'd ANY-memory-space
+        # operands that Mosaic cannot batch under vmap.
         (loss, (l_prop, l_int)) = jax.tree_util.tree_map(
             jnp.mean,
             jax.lax.map(lambda xs: per_sample(*xs),
-                        (batch["images"], batch["labels"],
+                        (feat, emb, batch["labels"],
                          batch["obj_valid"])))
         return loss, {"loss": loss, "loss_prop": l_prop, "loss_int": l_int}
 

@@ -35,7 +35,7 @@ from cvpr2020_manet_tpu.engine.losses import (
     bootstrap_ratio_schedule, bootstrapped_cross_entropy)
 from cvpr2020_manet_tpu.engine.train_state import TrainState
 from cvpr2020_manet_tpu.engine.train_stage1 import (
-    _downsample_onehot, synthetic_batch)
+    _downsample_onehot, encode_batch, synthetic_batch)
 from cvpr2020_manet_tpu.models.layers import resize_bilinear
 from cvpr2020_manet_tpu.models.manet import MANet
 from cvpr2020_manet_tpu.parallel.mesh import (
@@ -120,12 +120,16 @@ def _synthesize_scribbles(key, gt_oh, pred_labels, obj_valid):
 
 
 def forward_sample_stage2(model: MANet, params, images, labels, obj_valid,
-                          cfg: Config, key, frame_valid=None):
+                          cfg: Config, key, frame_valid=None,
+                          feat_emb=None):
     """Multi-round simulated interaction on one clip.
 
     images (F, H, W, 3); labels (F, H, W); frame_valid (F,) {0,1} — padded
     frames (clips shorter than clip_len) are excluded from the worst-frame
     pick; the caller drops their loss. Returns per-round logits.
+    feat_emb: optional precomputed (feat, emb) from
+    `train_stage1.encode_batch` (batched-encoder hoist; `images` may then
+    be None).
     """
     mcfg = cfg.model
     o = mcfg.max_objects + 1
@@ -135,7 +139,11 @@ def forward_sample_stage2(model: MANet, params, images, labels, obj_valid,
     variables = {"params": params}
     rounds = cfg.train.stage2_rounds
 
-    feat, emb = model.apply(variables, images, method=model.extract_features)
+    if feat_emb is None:
+        feat, emb = model.apply(variables, images,
+                                method=model.extract_features)
+    else:
+        feat, emb = feat_emb
     gt_oh = jax.vmap(lambda l: _downsample_onehot(l, s, o))(labels)  # (F,hh,ww,O)
     gt_oh = gt_oh * obj_valid[None, None, None, :]
 
@@ -208,10 +216,15 @@ def make_train_step(model: MANet, cfg: Config):
         ratio = bootstrap_ratio_schedule(
             step, tcfg.bootstrap_warmup_steps, tcfg.bootstrap_ratio)
 
-        def per_sample(images, labels, obj_valid, frame_valid, key):
+        # Encoder hoisted out of the per-sample map: all B*F frames as
+        # one (chunk-rematted) conv batch — see train_stage1.encode_batch.
+        feat, emb = encode_batch(model, params, batch["images"],
+                                 tcfg.remat_chunk if tcfg.remat else 0)
+
+        def per_sample(feat_s, emb_s, labels, obj_valid, frame_valid, key):
             up = forward_sample_stage2(
-                model, params, images, labels, obj_valid, cfg, key,
-                frame_valid=frame_valid)
+                model, params, None, labels, obj_valid, cfg, key,
+                frame_valid=frame_valid, feat_emb=(feat_s, emb_s))
             r, f = up.shape[:2]
             losses = jax.vmap(jax.vmap(
                 lambda lo, la: bootstrapped_cross_entropy(lo, la, ratio)))(
@@ -226,7 +239,7 @@ def make_train_step(model: MANet, cfg: Config):
         b = batch["images"].shape[0]
         loss = jnp.mean(jax.lax.map(
             lambda xs: per_sample(*xs),
-            (batch["images"], batch["labels"], batch["obj_valid"],
+            (feat, emb, batch["labels"], batch["obj_valid"],
              batch["frame_valid"], jax.random.split(key, b))))
         return loss, {"loss": loss}
 

@@ -145,18 +145,26 @@ def _matching_kernel(block_obj_ref, q_ref, k2_ref, kn_ref, out_ref, acc_ref):
     def _init():
         acc_ref[:] = jnp.full_like(acc_ref, WRONG_LABEL_PADDING_DISTANCE)
 
-    # e[q, k] = |k|^2 - 2 q.k   (|q|^2 added at finalize — constant in k)
-    cross2 = jax.lax.dot_general(
-        q_ref[:], k2_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    e = cross2 + kn_ref[j, :][None, :]
-    dmin = jnp.min(e, axis=1)                       # (TQ,)
-
     obj = block_obj_ref[j]
-    row = jax.lax.broadcasted_iota(jnp.int32, acc_ref.shape, 0)
-    upd = jnp.where(row == obj, dmin[None, :],
-                    WRONG_LABEL_PADDING_DISTANCE)
-    acc_ref[:] = jnp.minimum(acc_ref[:], upd)
+
+    # nkb is a STATIC upper bound (ceil(nk/TK) + o_pad alignment slack);
+    # unused slack blocks carry the o_pad sentinel. Skip their dot+min
+    # entirely: at training shapes (one 104x104 reference frame) the
+    # slack is over half the grid, and the kernel is VPU-bound on the
+    # (TQ, TK) min/argmin, so the guard nearly halves kernel time.
+    @pl.when(obj < acc_ref.shape[0])
+    def _compute():
+        # e[q, k] = |k|^2 - 2 q.k  (|q|^2 added at finalize — const in k)
+        cross2 = jax.lax.dot_general(
+            q_ref[:], k2_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        e = cross2 + kn_ref[j, :][None, :]
+        dmin = jnp.min(e, axis=1)                   # (TQ,)
+
+        row = jax.lax.broadcasted_iota(jnp.int32, acc_ref.shape, 0)
+        upd = jnp.where(row == obj, dmin[None, :],
+                        WRONG_LABEL_PADDING_DISTANCE)
+        acc_ref[:] = jnp.minimum(acc_ref[:], upd)
 
     @pl.when(j == nkb - 1)
     def _finalize():
@@ -237,18 +245,22 @@ def _matching_kernel_argmin(block_obj_ref, q_ref, k2_ref, kn_ref,
         acc_ref[:] = jnp.full_like(acc_ref, WRONG_LABEL_PADDING_DISTANCE)
         amin_ref[:] = jnp.full_like(amin_ref, -1)
 
-    cross2 = jax.lax.dot_general(
-        q_ref[:], k2_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    e = cross2 + kn_ref[j, :][None, :]
-    dmin = jnp.min(e, axis=1)                       # (TQ,)
-    am = jnp.argmin(e, axis=1).astype(jnp.int32) + j * tk
-
     obj = block_obj_ref[j]
-    row = jax.lax.broadcasted_iota(jnp.int32, acc_ref.shape, 0)
-    better = (row == obj) & (dmin[None, :] < acc_ref[:])
-    acc_ref[:] = jnp.where(better, dmin[None, :], acc_ref[:])
-    amin_ref[:] = jnp.where(better, am[None, :], amin_ref[:])
+
+    # skip unused alignment-slack blocks (see _matching_kernel)
+    @pl.when(obj < acc_ref.shape[0])
+    def _compute():
+        cross2 = jax.lax.dot_general(
+            q_ref[:], k2_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        e = cross2 + kn_ref[j, :][None, :]
+        dmin = jnp.min(e, axis=1)                   # (TQ,)
+        am = jnp.argmin(e, axis=1).astype(jnp.int32) + j * tk
+
+        row = jax.lax.broadcasted_iota(jnp.int32, acc_ref.shape, 0)
+        better = (row == obj) & (dmin[None, :] < acc_ref[:])
+        acc_ref[:] = jnp.where(better, dmin[None, :], acc_ref[:])
+        amin_ref[:] = jnp.where(better, am[None, :], amin_ref[:])
 
     @pl.when(j == nkb - 1)
     def _finalize():
