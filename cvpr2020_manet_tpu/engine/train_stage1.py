@@ -310,17 +310,21 @@ class Trainer:
         repl = replicated_sharding(self.mesh)
         data = batch_sharding(self.mesh)
         self.state = jax.device_put(self.state, repl)
-        batch_shardings = {"images": data, "labels": data, "obj_valid": data,
-                           "frame_valid": data}
+        # exposed for prefetch_to_device in the train loops / benches
+        self.batch_shardings = {"images": data, "labels": data,
+                                "obj_valid": data, "frame_valid": data}
         self._step = jax.jit(
             make_train_step(self.model, cfg),
-            in_shardings=(repl, batch_shardings),
+            in_shardings=(repl, self.batch_shardings),
             out_shardings=(repl, repl),
             donate_argnums=(0,))
 
-    def train_step(self, batch: Dict[str, np.ndarray]):
+    def train_step(self, batch: Dict[str, np.ndarray], sync: bool = True):
+        """One optimizer step. sync=False returns device-resident metrics
+        (no host round-trip): the loop stays async and only materializes
+        metrics at log points — see main()."""
         self.state, metrics = self._step(self.state, batch)
-        return jax.device_get(metrics)
+        return jax.device_get(metrics) if sync else metrics
 
 
 def synthetic_batch(cfg: Config, rng: np.random.Generator,
@@ -408,10 +412,15 @@ def main(argv=None):
         next_batch = lambda: synthetic_batch(cfg, rng)
 
     start = int(trainer.state.step)
-    for step in range(start, start + args.steps):
-        metrics = trainer.train_step(next_batch())
+    # double-buffered upload: batch i+1 transfers while step i computes;
+    # metrics stay on device except at log points (no per-step sync)
+    from cvpr2020_manet_tpu.engine.prefetch import prefetch_to_device
+    batches = prefetch_to_device(
+        (next_batch() for _ in range(args.steps)), trainer.batch_shardings)
+    for step, batch in enumerate(batches, start=start):
+        metrics = trainer.train_step(batch, sync=False)
         if step % max(1, cfg.train.log_every // 10) == 0:
-            logger.write(step, metrics)
+            logger.write(step, jax.device_get(metrics))
         if mgr is not None and (step + 1) % cfg.train.checkpoint_every == 0:
             mgr.save(trainer.state)
     if mgr is not None:

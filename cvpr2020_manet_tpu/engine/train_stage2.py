@@ -280,18 +280,21 @@ class Stage2Trainer:
         repl = replicated_sharding(self.mesh)
         data_sh = batch_sharding(self.mesh)
         self.state = jax.device_put(self.state, repl)
-        batch_shardings = {"images": data_sh, "labels": data_sh,
-                           "obj_valid": data_sh, "frame_valid": data_sh}
+        # exposed for prefetch_to_device in the train loops / benches
+        self.batch_shardings = {"images": data_sh, "labels": data_sh,
+                                "obj_valid": data_sh, "frame_valid": data_sh}
         self._step = jax.jit(
             make_train_step(self.model, cfg),
-            in_shardings=(repl, batch_shardings, repl),
+            in_shardings=(repl, self.batch_shardings, repl),
             out_shardings=(repl, repl),
             donate_argnums=(0,))
 
-    def train_step(self, batch: Dict[str, np.ndarray]):
+    def train_step(self, batch: Dict[str, np.ndarray], sync: bool = True):
+        """One optimizer step; sync=False keeps metrics on device (see
+        train_stage1.Trainer.train_step)."""
         self._key, sub = jax.random.split(self._key)
         self.state, metrics = self._step(self.state, batch, sub)
-        return jax.device_get(metrics)
+        return jax.device_get(metrics) if sync else metrics
 
 
 def main(argv=None):
@@ -364,9 +367,15 @@ def main(argv=None):
             print(f"resumed from step {int(trainer.state.step)}")
 
     start = int(trainer.state.step)
-    for step in range(start, start + args.steps):
-        metrics = trainer.train_step(next_batch())
-        logger.write(step, metrics)
+    # double-buffered upload + on-device metrics between log points
+    # (see train_stage1.main)
+    from cvpr2020_manet_tpu.engine.prefetch import prefetch_to_device
+    batches = prefetch_to_device(
+        (next_batch() for _ in range(args.steps)), trainer.batch_shardings)
+    for step, batch in enumerate(batches, start=start):
+        metrics = trainer.train_step(batch, sync=False)
+        if step % max(1, cfg.train.log_every // 10) == 0:
+            logger.write(step, jax.device_get(metrics))
         if mgr is not None and (step + 1) % cfg.train.checkpoint_every == 0:
             mgr.save(trainer.state)
     if mgr is not None:

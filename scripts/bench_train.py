@@ -37,6 +37,10 @@ def main(argv=None):
     p.add_argument("--num_objects", type=int, default=2)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--pipelined", action="store_true",
+                   help="steady-state mode: double-buffered uploads "
+                        "(engine/prefetch.py) + no per-step metrics sync "
+                        "— the main() train loops' operating point")
     args = p.parse_args(argv)
 
     import jax
@@ -68,12 +72,27 @@ def main(argv=None):
                                random_entry=args.stage == 2)
                for _ in range(2)]
 
-    for i in range(args.warmup):
-        metrics = trainer.train_step(batches[i % 2])
-    t0 = time.perf_counter()
-    for i in range(args.steps):
-        metrics = trainer.train_step(batches[i % 2])  # device_get syncs
-    dt = (time.perf_counter() - t0) / args.steps
+    if args.pipelined:
+        import jax as _jax
+        from cvpr2020_manet_tpu.engine.prefetch import prefetch_to_device
+        stream = prefetch_to_device(
+            (batches[i % 2] for i in range(args.warmup + args.steps)),
+            trainer.batch_shardings)
+        for i in range(args.warmup):
+            metrics = trainer.train_step(next(stream), sync=False)
+        _jax.block_until_ready(metrics)
+        t0 = time.perf_counter()
+        for batch in stream:
+            metrics = trainer.train_step(batch, sync=False)
+        metrics = _jax.device_get(metrics)  # drain the async queue
+        dt = (time.perf_counter() - t0) / args.steps
+    else:
+        for i in range(args.warmup):
+            metrics = trainer.train_step(batches[i % 2])
+        t0 = time.perf_counter()
+        for i in range(args.steps):
+            metrics = trainer.train_step(batches[i % 2])  # device_get syncs
+        dt = (time.perf_counter() - t0) / args.steps
 
     print(json.dumps({
         "metric": f"train_stage{args.stage}_clips_per_sec",
@@ -83,6 +102,7 @@ def main(argv=None):
         "batch": args.batch,
         "crop": args.crop,
         "stage2_rounds": cfg.train.stage2_rounds if args.stage == 2 else None,
+        "pipelined": args.pipelined,
         "devices": len(jax.devices()),
         "final_loss": round(float(metrics["loss"]), 4),
     }))
