@@ -105,16 +105,24 @@ class DavisTrainDataset:
 
     def __init__(self, root: str = "", cfg=None, subset: str = "train",
                  year: str = "2017", clip_len: int = 3, seed: int = 0,
-                 adapter=None):
+                 adapter=None, emit_uint8: bool = False):
         self.eval_ds = adapter if adapter is not None else DavisEvalDataset(
             root, subset=subset, year=year)
         self.cfg = cfg
         self.clip_len = clip_len
+        self.emit_uint8 = emit_uint8
         self._rng = np.random.default_rng(seed)
 
     def _augment(self, images: np.ndarray, labels: np.ndarray,
                  rng: np.random.Generator | None = None):
-        """Joint random scale / crop / hflip over a clip (C14)."""
+        """Joint random scale / crop / hflip over a clip (C14).
+
+        `images` are ImageNet-NORMALIZED floats (every adapter's
+        images() contract) — de-normalize back to [0,1] before the uint8
+        PIL resize, then re-normalize (or emit the uint8 directly when
+        emit_uint8: the trainers' device-side ingest_batch normalizes,
+        and the host->device upload ships 4x fewer bytes).
+        """
         ch, cw = self.cfg.train.crop_size
         t, h, w = labels.shape
         if rng is None:
@@ -123,11 +131,12 @@ class DavisTrainDataset:
         sh, sw = max(ch, int(h * scale)), max(cw, int(w * scale))
         # nearest for labels, bilinear for images (PIL per frame)
         from PIL import Image
+        raw = np.clip(images * IMAGENET_STD + IMAGENET_MEAN, 0.0, 1.0)
         imgs = np.stack([
             np.asarray(Image.fromarray(
-                (np.clip(im, 0, 1) * 255).astype(np.uint8)).resize(
-                    (sw, sh), Image.BILINEAR), np.float32) / 255.0
-            for im in images])
+                (im * 255.0).round().astype(np.uint8)).resize(
+                    (sw, sh), Image.BILINEAR), np.uint8)
+            for im in raw])
         labs = np.stack([
             np.asarray(Image.fromarray(lb.astype(np.uint8)).resize(
                 (sw, sh), Image.NEAREST), np.int32)
@@ -139,7 +148,9 @@ class DavisTrainDataset:
         if rng.random() < 0.5:
             imgs = imgs[:, :, ::-1].copy()
             labs = labs[:, :, ::-1].copy()
-        return normalize_image(imgs), labs
+        if self.emit_uint8:
+            return imgs, labs
+        return normalize_image(imgs.astype(np.float32) / 255.0), labs
 
     def sample_clip(self, rng: np.random.Generator | None = None
                     ) -> Dict[str, np.ndarray]:
@@ -180,7 +191,11 @@ class DavisTrainDataset:
         labels = remap[labels]
         obj_valid = np.zeros((o_max + 1,), np.float32)
         obj_valid[:len(present) + 1] = 1.0
-        return {"images": images.astype(np.float32), "labels": labels,
+        if self.emit_uint8:
+            images, labels = images, labels.astype(np.uint8)
+        else:
+            images = images.astype(np.float32)
+        return {"images": images, "labels": labels,
                 "obj_valid": obj_valid, "frame_valid": frame_valid}
 
     def batch(self, batch_size: int) -> Dict[str, np.ndarray]:

@@ -28,12 +28,16 @@ def make_train_iterator(
     seed: int = 0,
     shard_index: int = 0,
     shard_count: int = 1,
+    emit_uint8: bool = False,
 ) -> Iterator[dict]:
     """Infinite iterator of {'images','labels','obj_valid','frame_valid'}
-    batches. `clip_len` > 3 samples stage-2-style clips."""
+    batches. `clip_len` > 3 samples stage-2-style clips. emit_uint8
+    ships raw uint8 images/labels for the trainers' device-side
+    ingest_batch (4x fewer upload bytes)."""
     import grain.python as grain
 
-    ds = DavisTrainDataset(root, cfg, clip_len=clip_len, seed=seed)
+    ds = DavisTrainDataset(root, cfg, clip_len=clip_len, seed=seed,
+                           emit_uint8=emit_uint8)
     batch = cfg.train.batch_size
 
     def sample(i: int) -> dict:

@@ -41,6 +41,26 @@ def _downsample_onehot(labels: jax.Array, stride: int, o: int) -> jax.Array:
     return jax.nn.one_hot(sub, o, dtype=jnp.float32)
 
 
+def ingest_batch(batch):
+    """Device-side batch ingest (traced inside the jit step).
+
+    uint8 images -> ImageNet-normalized f32, sub-int32 labels -> int32:
+    the host pipeline can then ship 4x fewer image bytes (and 4x fewer
+    label bytes) over the host->device link — the trainer-side
+    counterpart of the serving engines' uint8 ingest
+    (propagate_batch.preprocess_frames, streaming uint8 path). Float
+    batches pass through unchanged, so both feeds compile to the same
+    tail graph.
+    """
+    from cvpr2020_manet_tpu.engine.propagate_batch import preprocess_frames
+    out = dict(batch)
+    if batch["images"].dtype == jnp.uint8:
+        out["images"] = preprocess_frames(batch["images"])
+    if batch["labels"].dtype != jnp.int32:
+        out["labels"] = batch["labels"].astype(jnp.int32)
+    return out
+
+
 def encode_batch(model: MANet, params, images: jax.Array,
                  remat_chunk: int = 0):
     """Batched encoder over ALL frames of ALL samples.
@@ -162,6 +182,8 @@ def make_cp_train_step(model: MANet, cfg: Config, mesh):
                               jnp.ones((shard,), jnp.float32), "context")
 
     def per_device(params, step, batch):
+        batch = ingest_batch(batch)
+
         def loss_fn(params):
             ratio = bootstrap_ratio_schedule(
                 step, tcfg.bootstrap_warmup_steps, tcfg.bootstrap_ratio)
@@ -223,6 +245,7 @@ def make_train_step(model: MANet, cfg: Config):
     tcfg = cfg.train
 
     def loss_fn(params, batch, step):
+        batch = ingest_batch(batch)
         ratio = bootstrap_ratio_schedule(
             step, tcfg.bootstrap_warmup_steps, tcfg.bootstrap_ratio)
         # Encoder hoisted out of the per-sample map: all B*3 frames as one
@@ -329,14 +352,17 @@ class Trainer:
 
 def synthetic_batch(cfg: Config, rng: np.random.Generator,
                     num_objects: int | None = None,
-                    random_entry: bool = False) -> Dict[str, np.ndarray]:
+                    random_entry: bool = False,
+                    as_uint8: bool = False) -> Dict[str, np.ndarray]:
     """Random moving-square triplets (smoke training / tests).
 
     num_objects: objects per clip (default 2, capped by the bucket).
     random_entry: sample each object's first-visible frame uniformly over
     the clip — the model then TRAINS on objects that enter mid-clip
     (absent from the reference frame), matching YouTube-VOS dynamics and
-    the entry-frames eval task (scripts/train_eval_flagship.py)."""
+    the entry-frames eval task (scripts/train_eval_flagship.py).
+    as_uint8: emit raw uint8 images + uint8 labels for the trainers'
+    device-side ingest path (ingest_batch) — 4x fewer upload bytes."""
     from cvpr2020_manet_tpu.data.synthetic import SyntheticDataset
     b = cfg.train.batch_size
     h, w = cfg.train.crop_size
@@ -357,6 +383,12 @@ def synthetic_batch(cfg: Config, rng: np.random.Generator,
         labels[i] = ds.gt_masks(seq)
     obj_valid = np.zeros((b, o), np.float32)
     obj_valid[:, :n_obj + 1] = 1.0
+    if as_uint8:
+        from cvpr2020_manet_tpu.data.davis import (IMAGENET_MEAN,
+                                                   IMAGENET_STD)
+        images = np.clip((images * IMAGENET_STD + IMAGENET_MEAN) * 255.0,
+                         0, 255).astype(np.uint8)
+        labels = labels.astype(np.uint8)
     return {"images": images, "labels": labels, "obj_valid": obj_valid,
             "frame_valid": np.ones((b, 3), np.float32)}
 
@@ -378,6 +410,9 @@ def main(argv=None):
     p.add_argument("--shard_index", type=int, default=0,
                    help="per-host data shard (grain path; multi-host DP)")
     p.add_argument("--shard_count", type=int, default=1)
+    p.add_argument("--uint8", action="store_true",
+                   help="ship raw uint8 batches; normalize on device "
+                        "(ingest_batch) — 4x fewer upload bytes")
     p.add_argument("--log_dir", default=None)
     p.add_argument("--snapshot_dir", default=None,
                    help="orbax checkpoint dir (resumes if it has snapshots)")
@@ -401,15 +436,17 @@ def main(argv=None):
         it = make_train_iterator(
             args.davis_root, cfg, num_workers=args.grain_workers,
             seed=cfg.train.seed, shard_index=args.shard_index,
-            shard_count=args.shard_count)
+            shard_count=args.shard_count, emit_uint8=args.uint8)
         next_batch = lambda: next(it)
     elif args.davis_root:
         from cvpr2020_manet_tpu.data.davis import DavisTrainDataset
-        ds = DavisTrainDataset(args.davis_root, cfg)
+        ds = DavisTrainDataset(args.davis_root, cfg,
+                               emit_uint8=args.uint8)
         next_batch = lambda: ds.batch(cfg.train.batch_size)
     else:
         rng = np.random.default_rng(cfg.train.seed)
-        next_batch = lambda: synthetic_batch(cfg, rng)
+        next_batch = lambda: synthetic_batch(cfg, rng,
+                                             as_uint8=args.uint8)
 
     start = int(trainer.state.step)
     # double-buffered upload: batch i+1 transfers while step i computes;

@@ -35,7 +35,7 @@ from cvpr2020_manet_tpu.engine.losses import (
     bootstrap_ratio_schedule, bootstrapped_cross_entropy)
 from cvpr2020_manet_tpu.engine.train_state import TrainState
 from cvpr2020_manet_tpu.engine.train_stage1 import (
-    _downsample_onehot, encode_batch, synthetic_batch)
+    _downsample_onehot, encode_batch, ingest_batch, synthetic_batch)
 from cvpr2020_manet_tpu.models.layers import resize_bilinear
 from cvpr2020_manet_tpu.models.manet import MANet
 from cvpr2020_manet_tpu.parallel.mesh import (
@@ -213,6 +213,7 @@ def make_train_step(model: MANet, cfg: Config):
     tcfg = cfg.train
 
     def loss_fn(params, batch, step, key):
+        batch = ingest_batch(batch)
         ratio = bootstrap_ratio_schedule(
             step, tcfg.bootstrap_warmup_steps, tcfg.bootstrap_ratio)
 
@@ -318,6 +319,9 @@ def main(argv=None):
     p.add_argument("--grain_workers", type=int, default=4)
     p.add_argument("--shard_index", type=int, default=0)
     p.add_argument("--shard_count", type=int, default=1)
+    p.add_argument("--uint8", action="store_true",
+                   help="ship raw uint8 batches; normalize on device "
+                        "(train_stage1.ingest_batch)")
     p.add_argument("--init_from", default=None,
                    help="stage-1 snapshot dir to initialize params from")
     p.add_argument("--snapshot_dir", default=None)
@@ -334,7 +338,8 @@ def main(argv=None):
         it = make_train_iterator(
             args.davis_root, cfg, clip_len=args.clip_len,
             num_workers=args.grain_workers, seed=cfg.train.seed,
-            shard_index=args.shard_index, shard_count=args.shard_count)
+            shard_index=args.shard_index, shard_count=args.shard_count,
+            emit_uint8=args.uint8)
         next_batch = lambda: next(it)
     elif args.davis_root or args.ytvos_root:
         from cvpr2020_manet_tpu.data.davis import DavisTrainDataset
@@ -343,11 +348,13 @@ def main(argv=None):
             from cvpr2020_manet_tpu.data.ytvos import YTVOSDataset
             adapter = YTVOSDataset(args.ytvos_root)
         ds = DavisTrainDataset(args.davis_root or "", cfg,
-                               clip_len=args.clip_len, adapter=adapter)
+                               clip_len=args.clip_len, adapter=adapter,
+                               emit_uint8=args.uint8)
         next_batch = lambda: ds.batch(cfg.train.batch_size)
     else:
         rng_syn = np.random.default_rng(cfg.train.seed)
-        next_batch = lambda: synthetic_batch(cfg, rng_syn)
+        next_batch = lambda: synthetic_batch(cfg, rng_syn,
+                                             as_uint8=args.uint8)
 
     if args.init_from:
         # stage 2 starts from the stage-1 snapshot (SURVEY.md §4.4: same

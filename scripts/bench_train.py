@@ -41,6 +41,9 @@ def main(argv=None):
                    help="steady-state mode: double-buffered uploads "
                         "(engine/prefetch.py) + no per-step metrics sync "
                         "— the main() train loops' operating point")
+    p.add_argument("--uint8", action="store_true",
+                   help="uint8 batches + device-side ingest_batch "
+                        "normalize (4x fewer upload bytes)")
     args = p.parse_args(argv)
 
     import jax
@@ -69,7 +72,8 @@ def main(argv=None):
 
     rng = np.random.default_rng(0)
     batches = [synthetic_batch(cfg, rng, num_objects=args.num_objects,
-                               random_entry=args.stage == 2)
+                               random_entry=args.stage == 2,
+                               as_uint8=args.uint8)
                for _ in range(2)]
 
     if args.pipelined:
@@ -103,6 +107,7 @@ def main(argv=None):
         "crop": args.crop,
         "stage2_rounds": cfg.train.stage2_rounds if args.stage == 2 else None,
         "pipelined": args.pipelined,
+        "uint8": args.uint8,
         "devices": len(jax.devices()),
         "final_loss": round(float(metrics["loss"]), 4),
     }))

@@ -122,3 +122,24 @@ def test_prefetch_sizes_and_validation():
     assert all(isinstance(a, jax.Array) for a in out)
     with pytest.raises(ValueError):
         next(prefetch_to_device(iter([np.ones(3)]), sh, size=0))
+
+
+def test_uint8_ingest_matches_float_batch():
+    """ingest_batch (device-side uint8 -> normalized f32 + label cast)
+    gives the same loss as the float feed up to 8-bit quantization of
+    the images; labels round-trip exactly."""
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(0)
+    fb = synthetic_batch(cfg, rng)
+    rng = np.random.default_rng(0)
+    ub = synthetic_batch(cfg, rng, as_uint8=True)
+    assert ub["images"].dtype == np.uint8 and ub["labels"].dtype == np.uint8
+    np.testing.assert_array_equal(ub["labels"], fb["labels"])
+
+    tr_f = Trainer(cfg)
+    m_f = tr_f.train_step(fb)
+    tr_u = Trainer(cfg)
+    m_u = tr_u.train_step(ub)
+    # synthetic images are flat color patches: 1/255 quantization barely
+    # moves the loss
+    np.testing.assert_allclose(m_u["loss"], m_f["loss"], rtol=2e-2)

@@ -109,3 +109,17 @@ def test_stage2_step_runs_and_learns():
     losses = [float(trainer.train_step(batch)["loss"]) for _ in range(4)]
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_stage2_uint8_ingest_smoke():
+    """Stage-2 shares train_stage1.ingest_batch: uint8 feed trains."""
+    import numpy as np
+    from cvpr2020_manet_tpu.config import tiny_test_config
+    from cvpr2020_manet_tpu.engine.train_stage1 import synthetic_batch
+    from cvpr2020_manet_tpu.engine.train_stage2 import Stage2Trainer
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(0)
+    b = synthetic_batch(cfg, rng, random_entry=True, as_uint8=True)
+    tr = Stage2Trainer(cfg)
+    m = tr.train_step(b)
+    assert np.isfinite(m["loss"])
