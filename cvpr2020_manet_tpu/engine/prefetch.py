@@ -1,14 +1,20 @@
 """Host->device batch prefetch for the training loops.
 
-The tunnel's upload cost (~66 MB/s + ~34 ms/dispatch, docs/BENCHMARKS.md)
-is pure overhead when the trainer uploads batch i+1 only after step i's
-metrics sync. `prefetch_to_device` keeps `size` batches in flight:
-`jax.device_put` is asynchronous, so batch i+1's transfer rides under
-step i's compute and the steady-state step pays max(compute, upload)
-instead of their sum. This is the TPU-side equivalent of the reference's
-multi-worker DataLoader keeping the GPU fed (SURVEY.md §4.4 L4 row);
-worker-side parallelism lives in data/grain_pipeline.py — this hides the
-*device transfer*, which torch DataLoaders never see.
+`prefetch_to_device` keeps `size` batches in flight via async
+`jax.device_put`, so batch i+1's transfer rides under step i's compute —
+the TPU-side equivalent of the reference's multi-worker DataLoader
+keeping the GPU fed (SURVEY.md §4.4 L4 row); worker-side parallelism
+lives in data/grain_pipeline.py.
+
+OPT-IN, not the default feed: on this sandbox's tunneled single-chip
+backend, feeding pre-committed device arrays into the jitted step
+compiled a SECOND executable and then ran ~20x slower per step than the
+plain numpy feed (docs/BENCHMARKS.md training table) — the numpy feed
+already overlaps step i+1's transfer with step i's compute through
+JAX's async dispatch, as long as the loop never syncs per step (the
+trainers' sync=False metrics path). Use this on multi-host pods where
+per-host input sharding makes explicit placement necessary; measure
+first.
 """
 
 from __future__ import annotations

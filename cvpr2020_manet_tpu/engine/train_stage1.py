@@ -449,15 +449,15 @@ def main(argv=None):
                                              as_uint8=args.uint8)
 
     start = int(trainer.state.step)
-    # double-buffered upload: batch i+1 transfers while step i computes;
-    # metrics stay on device except at log points (no per-step sync)
-    from cvpr2020_manet_tpu.engine.prefetch import prefetch_to_device
-    batches = prefetch_to_device(
-        (next_batch() for _ in range(args.steps)), trainer.batch_shardings)
-    for step, batch in enumerate(batches, start=start):
-        metrics = trainer.train_step(batch, sync=False)
+    # synchronous numpy feed on purpose: on the tunneled backend both
+    # device_put prefetch and unsynced async dispatch chains measured
+    # 10-100x SLOWER than this (docs/BENCHMARKS.md training section);
+    # train_step(..., sync=False) + engine/prefetch.py are the opt-in
+    # pipeline for real multi-host pods.
+    for step in range(start, start + args.steps):
+        metrics = trainer.train_step(next_batch())
         if step % max(1, cfg.train.log_every // 10) == 0:
-            logger.write(step, jax.device_get(metrics))
+            logger.write(step, metrics)
         if mgr is not None and (step + 1) % cfg.train.checkpoint_every == 0:
             mgr.save(trainer.state)
     if mgr is not None:

@@ -374,15 +374,13 @@ def main(argv=None):
             print(f"resumed from step {int(trainer.state.step)}")
 
     start = int(trainer.state.step)
-    # double-buffered upload + on-device metrics between log points
-    # (see train_stage1.main)
-    from cvpr2020_manet_tpu.engine.prefetch import prefetch_to_device
-    batches = prefetch_to_device(
-        (next_batch() for _ in range(args.steps)), trainer.batch_shardings)
-    for step, batch in enumerate(batches, start=start):
-        metrics = trainer.train_step(batch, sync=False)
+    # synchronous numpy feed on purpose (see train_stage1.main and
+    # engine/prefetch.py: async feeds are pathological on the tunneled
+    # backend; opt-in for real pods)
+    for step in range(start, start + args.steps):
+        metrics = trainer.train_step(next_batch())
         if step % max(1, cfg.train.log_every // 10) == 0:
-            logger.write(step, jax.device_get(metrics))
+            logger.write(step, metrics)
         if mgr is not None and (step + 1) % cfg.train.checkpoint_every == 0:
             mgr.save(trainer.state)
     if mgr is not None:

@@ -38,9 +38,13 @@ def main(argv=None):
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--pipelined", action="store_true",
-                   help="steady-state mode: double-buffered uploads "
-                        "(engine/prefetch.py) + no per-step metrics sync "
-                        "— the main() train loops' operating point")
+                   help="steady-state mode: no per-step metrics sync "
+                        "(async dispatch overlaps transfers) — the "
+                        "main() train loops' operating point")
+    p.add_argument("--prefetch", action="store_true",
+                   help="with --pipelined: explicit device_put "
+                        "double-buffering (engine/prefetch.py; opt-in — "
+                        "measured pathological on the tunneled backend)")
     p.add_argument("--uint8", action="store_true",
                    help="uint8 batches + device-side ingest_batch "
                         "normalize (4x fewer upload bytes)")
@@ -78,10 +82,15 @@ def main(argv=None):
 
     if args.pipelined:
         import jax as _jax
-        from cvpr2020_manet_tpu.engine.prefetch import prefetch_to_device
-        stream = prefetch_to_device(
-            (batches[i % 2] for i in range(args.warmup + args.steps)),
-            trainer.batch_shardings)
+        if args.prefetch:
+            from cvpr2020_manet_tpu.engine.prefetch import (
+                prefetch_to_device)
+            stream = prefetch_to_device(
+                (batches[i % 2] for i in range(args.warmup + args.steps)),
+                trainer.batch_shardings)
+        else:
+            stream = (batches[i % 2]
+                      for i in range(args.warmup + args.steps))
         for i in range(args.warmup):
             metrics = trainer.train_step(next(stream), sync=False)
         _jax.block_until_ready(metrics)
