@@ -9,12 +9,12 @@ lives in data/grain_pipeline.py.
 OPT-IN, not the default feed: on this sandbox's tunneled single-chip
 backend, feeding pre-committed device arrays into the jitted step
 compiled a SECOND executable and then ran ~20x slower per step than the
-plain numpy feed (docs/BENCHMARKS.md training table) — the numpy feed
-already overlaps step i+1's transfer with step i's compute through
-JAX's async dispatch, as long as the loop never syncs per step (the
-trainers' sync=False metrics path). Use this on multi-host pods where
-per-host input sharding makes explicit placement necessary; measure
-first.
+plain synchronous numpy feed — and even the numpy feed with no per-step
+sync (train_step(sync=False) chains) ran 11-105 s/step in a fresh
+process (docs/BENCHMARKS.md training table, async-feed caveat). The
+trainer main() loops therefore feed synchronously. Use this on real
+multi-host pods where per-host input sharding makes explicit placement
+necessary; measure first.
 """
 
 from __future__ import annotations
