@@ -1,0 +1,196 @@
+"""The `davisinteractive` compat shim: upstream-API code (the way
+lightas/CVPR2020_MANet's eval script is written — SURVEY.md §4.1) must
+run unmodified against the in-repo protocol stack."""
+
+import numpy as np
+import pytest
+
+from cvpr2020_manet_tpu.data import SyntheticDataset
+from cvpr2020_manet_tpu.interactive import metrics as fw_metrics
+from cvpr2020_manet_tpu.interactive import scribbles as fw_scribbles
+
+
+def _payload(sequence="seq", frames=3):
+    """A small 2-frame-annotated scribble payload in protocol JSON."""
+    lines0 = [
+        {"path": [[0.1, 0.1], [0.8, 0.1]], "object_id": 1},
+        {"path": [[0.1, 0.9], [0.9, 0.9]], "object_id": 0},
+    ]
+    lines2 = [{"path": [[0.5, 0.2], [0.5, 0.8]], "object_id": 2}]
+    scr = [[] for _ in range(frames)]
+    scr[0] = lines0
+    scr[2 % frames] = lines2
+    return {"sequence": sequence, "scribbles": scr}
+
+
+# ---------------------------------------------------------------- utils
+
+
+def test_annotated_frames_and_is_empty():
+    from davisinteractive.utils.scribbles import (
+        annotated_frames, annotated_frames_object, is_empty)
+    pay = _payload()
+    assert annotated_frames(pay) == [0, 2]
+    assert annotated_frames_object(pay, 1) == [0]
+    assert annotated_frames_object(pay, 2) == [2]
+    assert not is_empty(pay)
+    assert is_empty({"sequence": "s", "scribbles": [[], []]})
+
+
+def test_fuse_scribbles():
+    from davisinteractive.utils.scribbles import fuse_scribbles
+    a, b = _payload(), _payload()
+    fused = fuse_scribbles(a, b)
+    assert len(fused["scribbles"][0]) == 4      # 2 + 2 lines
+    assert len(fused["scribbles"][1]) == 0
+    with pytest.raises(ValueError):
+        fuse_scribbles(a, _payload(sequence="other"))
+
+
+def test_scribbles2mask_default_matches_framework():
+    from davisinteractive.utils.scribbles import scribbles2mask
+    pay = _payload()
+    got = scribbles2mask(pay, (24, 32))
+    want = fw_scribbles.scribbles2mask(pay, (24, 32))
+    np.testing.assert_array_equal(got, want)
+    assert got.shape == (3, 24, 32)
+    assert set(np.unique(got)) <= {-1, 0, 1, 2}
+
+
+def test_scribbles2mask_points_only_subset_of_bresenham():
+    from davisinteractive.utils.scribbles import scribbles2mask
+    pay = _payload()
+    full = scribbles2mask(pay, (24, 32))
+    pts = scribbles2mask(pay, (24, 32), bresenham=False)
+    # path endpoints only -> a (strict, for these long lines) subset
+    assert np.count_nonzero(pts >= 0) < np.count_nonzero(full >= 0)
+    assert np.all(full[pts >= 0] == pts[pts >= 0])
+
+
+def test_scribbles2mask_bezier_covers_straight_line():
+    from davisinteractive.utils.scribbles import scribbles2mask
+    # Bézier through 2 control points IS the straight segment; with
+    # enough samples it marks the same pixels as Bresenham
+    pay = {"sequence": "s", "scribbles": [
+        [{"path": [[0.1, 0.1], [0.8, 0.1]], "object_id": 1}]]}
+    bez = scribbles2mask(pay, (24, 32), bezier_curve_sampling=True,
+                         nb_points=2000)
+    bre = scribbles2mask(pay, (24, 32))
+    np.testing.assert_array_equal(bez, bre)
+
+
+def test_scribbles2mask_only_annotated_frame_flag():
+    from davisinteractive.utils.scribbles import scribbles2mask
+    pay = _payload()
+    m = scribbles2mask(pay, (24, 32), only_annotated_frame=True,
+                       default_value=-7)
+    assert np.all(m[1] == -7)
+    assert np.count_nonzero(m[0] >= 0) > 0
+
+
+def test_scribbles2points_scaling_and_ids():
+    from davisinteractive.utils.scribbles import scribbles2points
+    pay = _payload()
+    x, y = scribbles2points(pay)
+    assert x.shape == (len(y), 3) and len(y) == 2 + 2 + 2
+    assert set(y.tolist()) == {0, 1, 2}
+    assert x[:, 1:].min() >= 0.0 and x[:, 1:].max() <= 1.0
+    xs, _ = scribbles2points(pay, output_resolution=(24, 32))
+    assert xs[:, 1].max() <= 23 and xs[:, 2].max() <= 31
+    assert np.allclose(xs, np.round(xs))        # pixel coordinates
+
+
+def test_operations_bresenham_polyline_and_bezier():
+    from davisinteractive.utils.operations import bezier_curve, bresenham
+    line = bresenham(np.array([[0, 0], [3, 0], [3, 2]]))
+    # junction pixel (3,0) appears exactly once
+    assert (line == [3, 0]).all(axis=1).sum() == 1
+    assert (line[0] == [0, 0]).all() and (line[-1] == [3, 2]).all()
+
+    ctrl = np.array([[0.0, 0.0], [1.0, 2.0]])
+    curve = bezier_curve(ctrl, nb_points=11)
+    np.testing.assert_allclose(curve[0], ctrl[0])
+    np.testing.assert_allclose(curve[-1], ctrl[1])
+    # 2 control points -> exact straight segment
+    np.testing.assert_allclose(curve[:, 1], 2.0 * curve[:, 0], atol=1e-12)
+
+
+# -------------------------------------------------------------- metrics
+
+
+def test_metrics_upstream_argument_order_and_inference():
+    from davisinteractive.metrics import batched_f_measure, batched_jaccard
+    rng = np.random.default_rng(0)
+    gt = rng.integers(0, 3, size=(2, 16, 16)).astype(np.int32)
+    pred = gt.copy()
+    pred[:, :4] = 0
+    # upstream order: (y_true, y_pred); nb_objects inferred from gt max
+    j = batched_jaccard(gt, pred)
+    f = batched_f_measure(gt, pred)
+    np.testing.assert_allclose(j, fw_metrics.batched_jaccard(pred, gt, 2))
+    np.testing.assert_allclose(f, fw_metrics.batched_f_measure(pred, gt, 2))
+    # per-object output: (T, nb_objects), mean recovers the averaged form
+    jo = batched_jaccard(gt, pred, average_over_objects=False)
+    fo = batched_f_measure(gt, pred, average_over_objects=False)
+    assert jo.shape == fo.shape == (2, 2)
+    np.testing.assert_allclose(jo.mean(axis=1), j)
+    np.testing.assert_allclose(fo.mean(axis=1), f)
+
+
+# ---------------------------------------------------------------- robot
+
+
+def test_robot_upstream_interact_returns_payload():
+    from davisinteractive.robot import InteractiveScribblesRobot
+    ds = SyntheticDataset(num_sequences=1, scribble_sets=1, num_frames=3)
+    seq = ds.sequences()[0]
+    gt = ds.gt_masks(seq)
+    robot = InteractiveScribblesRobot(kernel_size=0.15, min_nb_nodes=3)
+    # nb_objects omitted -> inferred from gt
+    pay = robot.interact(seq, np.zeros_like(gt), gt)
+    assert isinstance(pay, dict)
+    assert pay["sequence"] == seq
+    assert len(pay["scribbles"]) == gt.shape[0]
+    frames = [i for i, l in enumerate(pay["scribbles"]) if l]
+    assert len(frames) == 1
+    for line in pay["scribbles"][frames[0]]:
+        assert {"path", "object_id"} <= set(line)
+    # frame pin
+    pinned = robot.interact(seq, np.zeros_like(gt), gt, frame=1)
+    assert [i for i, l in enumerate(pinned["scribbles"]) if l] == [1]
+
+
+# -------------------------------------------------------------- session
+
+
+def test_session_shim_runs_upstream_style_loop():
+    """The reference eval loop (SURVEY.md §4.1), written ONLY against
+    `davisinteractive.*` imports."""
+    from davisinteractive import __is_manet_tpu_shim__
+    from davisinteractive.session import DavisInteractiveSession
+    from davisinteractive.utils.scribbles import (
+        annotated_frames, scribbles2mask)
+
+    assert __is_manet_tpu_shim__
+    ds = SyntheticDataset(num_sequences=1, scribble_sets=2, num_frames=3)
+    gt = {s: ds.gt_masks(s) for s in ds.sequences()}
+    seen_rounds = 0
+    with DavisInteractiveSession(host="localhost", dataset=ds,
+                                 max_nb_interactions=2) as sess:
+        while sess.next():
+            seq, scribbles, first = sess.get_scribbles(only_last=True)
+            frames = annotated_frames(scribbles)
+            assert len(frames) == 1
+            h, w = gt[seq].shape[1:]
+            scr_mask = scribbles2mask(scribbles, (h, w))
+            assert scr_mask.shape == gt[seq].shape
+            assert np.count_nonzero(scr_mask[frames[0]] >= 0) > 0
+            sess.submit_masks(gt[seq] if not first
+                              else np.zeros_like(gt[seq]))
+            seen_rounds += 1
+    assert seen_rounds == 2 * 2                 # 2 sets x 2 rounds
+    report = sess.get_report()
+    assert {"sequence", "interaction", "jaccard", "contour",
+            "timing"} <= set(report.columns)
+    summary = sess.get_global_summary(max_time=10.0, at_threshold=5.0)
+    assert 0.0 < summary["auc"] <= 1.0
