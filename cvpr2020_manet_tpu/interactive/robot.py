@@ -165,7 +165,15 @@ class InteractiveScribblesRobot:
             path = self._spine_path_fallback(err)
         if path is None or len(path) < p.min_path_nodes:
             return None
-        path = path[::p.sample_every] + [path[-1]]
+        # subsample long spines, but never below min_path_nodes: a fixed
+        # stride would collapse e.g. a 4-node spine to 2 emitted nodes,
+        # violating the param's "drop degenerate scribbles" contract
+        stride = min(p.sample_every,
+                     max(1, (len(path) - 1) // (p.min_path_nodes - 1)))
+        sub = path[::stride]
+        if sub[-1] != path[-1]:
+            sub.append(path[-1])
+        path = sub
         h, w = shape
         norm = [[x / max(w - 1, 1), y / max(h - 1, 1)] for (y, x) in path]
         return {"path": norm, "object_id": int(obj),
