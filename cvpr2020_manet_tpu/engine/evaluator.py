@@ -178,8 +178,8 @@ class Evaluator:
         # all-gather-min over ICI (parallel/cp_matching.py). Pairs with
         # matching_memory="stacked", where memory rows grow with rounds.
         self.cp_mesh = cp_mesh
-        self._cp_backend = ("pallas_interpret" if self._interpret
-                            else "pallas" if self.use_pallas else "jnp")
+        from cvpr2020_manet_tpu.parallel.cp_matching import cp_backend
+        self._cp_backend = cp_backend(self.use_pallas, self._interpret)
         self._extract = jax.jit(self._extract_impl)
         # masks fused into the round: ONE device dispatch per interaction
         # round (each dispatch pays a full RTT through the TPU tunnel)
@@ -307,13 +307,11 @@ class Evaluator:
             # context-parallel matching: memory rows sharded over the
             # 'context' mesh axis, per-shard matching on self._cp_backend,
             # all-gather-min combine (parallel/cp_matching.py)
-            from cvpr2020_manet_tpu.parallel.cp_matching import (
-                context_parallel_matching)
+            from cvpr2020_manet_tpu.parallel.cp_matching import cp_match_flat
             ce = emb.shape[-1]
-            gm_pre = context_parallel_matching(
+            gm_pre = cp_match_flat(
                 emb_ordered.reshape(-1, ce), ref_emb, ref_onehot,
-                jnp.ones((ref_emb.shape[0],), jnp.float32), self.cp_mesh,
-                backend=self._cp_backend).reshape(t - 1, h, w, o)
+                self.cp_mesh, self._cp_backend).reshape(t - 1, h, w, o)
         elif self.use_pallas:
             # global matching is carry-independent: ALL frames go through
             # the Pallas kernel in ONE batched call (better pipelining
@@ -457,13 +455,11 @@ class Evaluator:
 
         gm_pre = None
         if self.cp_mesh is not None:
-            from cvpr2020_manet_tpu.parallel.cp_matching import (
-                context_parallel_matching)
+            from cvpr2020_manet_tpu.parallel.cp_matching import cp_match_flat
             ce = emb.shape[-1]
-            gm_pre = context_parallel_matching(
+            gm_pre = cp_match_flat(
                 emb_ordered.reshape(-1, ce), ref_emb, ref_onehot,
-                jnp.ones((ref_emb.shape[0],), jnp.float32), self.cp_mesh,
-                backend=self._cp_backend).reshape(count, h, w, o)
+                self.cp_mesh, self._cp_backend).reshape(count, h, w, o)
         elif self.use_pallas:
             from cvpr2020_manet_tpu.ops.matching_pallas import (
                 global_matching_prepared)

@@ -145,6 +145,12 @@ class BatchPropagator:
         from cvpr2020_manet_tpu.engine.evaluator import Evaluator
         b, t = batch_shape
         bits = Evaluator._mask_bits(self.o)
+        # validate BEFORE issuing device work (and for direct pipeline
+        # callers, who previously hit an opaque pack_labels trace error):
+        # packed masks need the upsampled width divisible by 8/bits
+        w_img = extracted[0][0].shape[2] * self.cfg.model.feature_stride
+        assert w_img % (8 // bits) == 0, \
+            f"width {w_img} must be a multiple of {8 // bits} (pad_to)"
         obj_valid = np.zeros((b, self.o), np.float32)
         for i, n in enumerate(np.asarray(num_objects)):
             obj_valid[i, :int(n) + 1] = 1.0
@@ -175,10 +181,9 @@ class BatchPropagator:
         at feature resolution; num_objects (B,)."""
         b, t, h_img, w_img, _ = frames_u8.shape
         extracted = self.upload(frames_u8.reshape(b * t, h_img, w_img, 3))
+        # width validation happens in dispatch(), before device work
         fetches, bits = self.dispatch(extracted, first_masks, num_objects,
                                       (b, t))
-        assert w_img % (8 // bits) == 0, \
-            f"width {w_img} must be a multiple of {8 // bits} (pad_to)"
         return self.drain(fetches, bits)
 
 

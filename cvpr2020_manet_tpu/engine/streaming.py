@@ -66,9 +66,9 @@ class StreamingIVOS:
         if backend == "auto":
             backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
         self.use_pallas = backend.startswith("pallas")
-        self._cp_backend = ("pallas_interpret"
-                            if backend == "pallas_interpret"
-                            else "pallas" if self.use_pallas else "jnp")
+        from cvpr2020_manet_tpu.parallel.cp_matching import cp_backend
+        self._cp_backend = cp_backend(self.use_pallas,
+                                      backend == "pallas_interpret")
         # n_rows static: the matching memory is sliced to the LIVE page
         # count before matching (one cached compile per power-of-2 page
         # bucket) — a stream that has seen 1 correction matches 1 page,
@@ -157,13 +157,11 @@ class StreamingIVOS:
                               method=model.head_feat_contrib)
         gmap_override = None
         if self.cp_mesh is not None:
-            from cvpr2020_manet_tpu.parallel.cp_matching import (
-                context_parallel_matching)
+            from cvpr2020_manet_tpu.parallel.cp_matching import cp_match_flat
             ce = e_t.shape[-1]
-            gmap_override = context_parallel_matching(
+            gmap_override = cp_match_flat(
                 e_t.reshape(-1, ce), mem_emb, mem_onehot,
-                jnp.ones((mem_emb.shape[0],), jnp.float32), self.cp_mesh,
-                backend=self._cp_backend).reshape(self.hh, self.ww, o)
+                self.cp_mesh, self._cp_backend).reshape(self.hh, self.ww, o)
         logits, _ = model.apply(
             variables, f_t, e_t, mem_emb, mem_onehot, None,
             jnp.ones((self.hh, self.ww, o), jnp.float32),

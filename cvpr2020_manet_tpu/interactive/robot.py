@@ -169,7 +169,7 @@ class InteractiveScribblesRobot:
         # stride would collapse e.g. a 4-node spine to 2 emitted nodes,
         # violating the param's "drop degenerate scribbles" contract
         stride = min(p.sample_every,
-                     max(1, (len(path) - 1) // (p.min_path_nodes - 1)))
+                     max(1, (len(path) - 1) // max(p.min_path_nodes - 1, 1)))
         sub = path[::stride]
         if sub[-1] != path[-1]:
             sub.append(path[-1])

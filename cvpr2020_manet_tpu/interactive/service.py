@@ -72,6 +72,7 @@ class EvaluationService:
         self._sessions: Dict[str, InteractiveSession] = {}
         self._locks: Dict[str, threading.Lock] = {}
         self._registry_lock = threading.Lock()
+        self._info_lock = threading.Lock()
         self._info: Optional[Dict[str, Any]] = None
 
     def start_session(self, *, max_nb_interactions: int = 8,
@@ -104,21 +105,23 @@ class EvaluationService:
     def dataset_info(self) -> Dict[str, Any]:
         """Public (non-ground-truth) dataset metadata for clients.
 
-        Computed once and cached: on a real DAVIS tree it decodes every
-        GT PNG (for frame/object counts), which must not happen per
-        request."""
-        if self._info is None:
-            ds = self.dataset
-            seqs = list(ds.sequences())
-            self._info = {
-                "sequences": seqs,
-                "num_objects": {s: int(ds.num_objects(s)) for s in seqs},
-                "num_scribble_sets": {
-                    s: int(ds.num_scribble_sets(s)) for s in seqs},
-                "num_frames": {
-                    s: int(ds.gt_masks(s).shape[0]) for s in seqs},
-            }
-        return self._info
+        Computed once and cached, under a lock: on a real DAVIS tree it
+        decodes every GT PNG (for frame/object counts), which must not
+        happen per request — nor concurrently when two clients race the
+        first GET /api/dataset on the threading server."""
+        with self._info_lock:
+            if self._info is None:
+                ds = self.dataset
+                seqs = list(ds.sequences())
+                self._info = {
+                    "sequences": seqs,
+                    "num_objects": {s: int(ds.num_objects(s)) for s in seqs},
+                    "num_scribble_sets": {
+                        s: int(ds.num_scribble_sets(s)) for s in seqs},
+                    "num_frames": {
+                        s: int(ds.gt_masks(s).shape[0]) for s in seqs},
+                }
+            return self._info
 
 
 def _make_handler(service: EvaluationService):
@@ -191,6 +194,7 @@ def _make_handler(service: EvaluationService):
 
         def do_GET(self):
             _, parts, query = self._route()
+            self._body()  # drain: same keep-alive invariant as do_POST
             try:
                 if parts == ["api", "dataset"]:
                     return self._json(service.dataset_info())
@@ -231,6 +235,7 @@ def _make_handler(service: EvaluationService):
 
         def do_DELETE(self):
             _, parts, _ = self._route()
+            self._body()  # drain: same keep-alive invariant as do_POST
             if len(parts) == 3 and parts[:2] == ["api", "session"]:
                 service.close_session(parts[2])
                 return self._json({"ok": True})

@@ -136,3 +136,23 @@ def context_parallel_matching(
         check_vma=False,
     )
     return fn(query, ref, ref_onehot, ref_valid)
+
+
+def cp_backend(use_pallas: bool, interpret: bool) -> str:
+    """Per-shard backend string for an engine's resolved matching mode
+    (shared by Evaluator / StreamingIVOS __init__)."""
+    return ("pallas_interpret" if interpret
+            else "pallas" if use_pallas else "jnp")
+
+
+def cp_match_flat(query_flat: jax.Array, ref: jax.Array,
+                  ref_onehot: jax.Array, mesh: Mesh,
+                  backend: str) -> jax.Array:
+    """The engines' shared CP call shape (evaluator round/sweep,
+    streaming observe): flattened queries against an all-rows-valid
+    reference — validity is already folded into `ref_onehot` by the
+    engines' memory layouts. -> (Nq, O) normalized distances; callers
+    reshape to their spatial grid."""
+    return context_parallel_matching(
+        query_flat, ref, ref_onehot,
+        jnp.ones((ref.shape[0],), jnp.float32), mesh, backend=backend)

@@ -91,9 +91,11 @@ def main(argv=None):
         else:
             stream = (batches[i % 2]
                       for i in range(args.warmup + args.steps))
+        metrics = None
         for i in range(args.warmup):
             metrics = trainer.train_step(next(stream), sync=False)
-        _jax.block_until_ready(metrics)
+        if metrics is not None:
+            _jax.block_until_ready(metrics)
         t0 = time.perf_counter()
         for batch in stream:
             metrics = trainer.train_step(batch, sync=False)

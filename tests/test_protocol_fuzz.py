@@ -138,6 +138,20 @@ def test_robot_fuzz_payload_schema(seed):
         assert hit > 0.8, (obj, hit)
 
 
+def test_robot_min_path_nodes_one_does_not_crash():
+    """min_path_nodes=1 (upstream robot's min_nb_nodes can be 1) must not
+    divide by zero in the subsampling stride."""
+    import dataclasses
+
+    from cvpr2020_manet_tpu.interactive.robot import RobotParams
+    gt = np.zeros((2, 16, 16), np.int32)
+    gt[:, 4:12, 4:12] = 1
+    robot = InteractiveScribblesRobot(
+        dataclasses.replace(RobotParams(), min_path_nodes=1))
+    scr = robot.interact("one", np.zeros_like(gt), gt, 1)
+    assert sum(len(l) for l in scr.scribbles) >= 1
+
+
 def test_robot_perfect_prediction_yields_empty_payload():
     rng = np.random.default_rng(0)
     gt = np.zeros((3, 16, 16), np.int32)
