@@ -137,7 +137,23 @@ def prepare_ref(
                        block_obj=block_obj, src_idx=src_idx, num_objects=o)
 
 
-def _matching_kernel(block_obj_ref, q_ref, k2_ref, kn_ref, out_ref, acc_ref):
+def _row_min(e: jax.Array, two_stage: bool) -> jax.Array:
+    """min over the key axis of a (TQ, TK) tile.
+
+    two_stage reshapes to (TQ, TK/128, 128) and folds the lane-groups
+    elementwise (vreg-wise VPU mins) before ONE 128-lane cross-lane
+    reduction — a candidate speedup over the direct lane reduction if
+    Mosaic lowers `min(axis=1)` naively; exact same result either way
+    (min is associative/commutative). Keep whichever measures faster
+    (scripts/bench_matching_kernel.py --two_stage_min)."""
+    if not two_stage or e.shape[1] % 128 != 0:
+        return jnp.min(e, axis=1)
+    er = e.reshape(e.shape[0], e.shape[1] // 128, 128)
+    return jnp.min(jnp.min(er, axis=1), axis=-1)
+
+
+def _matching_kernel(block_obj_ref, q_ref, k2_ref, kn_ref, out_ref, acc_ref,
+                     *, two_stage_min: bool = False):
     j = pl.program_id(1)
     nkb = pl.num_programs(1)
 
@@ -159,7 +175,7 @@ def _matching_kernel(block_obj_ref, q_ref, k2_ref, kn_ref, out_ref, acc_ref):
             q_ref[:], k2_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         e = cross2 + kn_ref[j, :][None, :]
-        dmin = jnp.min(e, axis=1)                   # (TQ,)
+        dmin = _row_min(e, two_stage_min)           # (TQ,)
 
         row = jax.lax.broadcasted_iota(jnp.int32, acc_ref.shape, 0)
         upd = jnp.where(row == obj, dmin[None, :],
@@ -177,7 +193,8 @@ def _matching_kernel(block_obj_ref, q_ref, k2_ref, kn_ref, out_ref, acc_ref):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+    jax.jit,
+    static_argnames=("block_q", "block_k", "interpret", "two_stage_min"))
 def global_matching_prepared(
     query: jax.Array,       # (Nq, C)
     bucketed: BucketedRef,
@@ -185,6 +202,7 @@ def global_matching_prepared(
     block_q: int = DEFAULT_TQ,
     block_k: int = DEFAULT_TK,
     interpret: bool = False,
+    two_stage_min: bool = False,
 ) -> jax.Array:
     """Matching against a prepared (bucketed) reference. -> (Nq, O) f32."""
     nq, c = query.shape
@@ -199,7 +217,7 @@ def global_matching_prepared(
 
     grid = (nq_pad // block_q, nkb)
     out = pl.pallas_call(
-        _matching_kernel,
+        functools.partial(_matching_kernel, two_stage_min=two_stage_min),
         out_shape=jax.ShapeDtypeStruct((nq_pad, o_pad), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

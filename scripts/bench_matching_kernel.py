@@ -42,6 +42,8 @@ def main(argv=None):
     p.add_argument("--interpret", action="store_true",
                    help="CPU smoke test via the Pallas interpreter "
                         "(correctness of the harness, not a benchmark)")
+    p.add_argument("--two_stage_min", action="store_true",
+                   help="global kernel: two-stage row-min variant")
     args = p.parse_args(argv)
 
     import jax
@@ -95,7 +97,8 @@ def main(argv=None):
         def body(carry, _):
             out = global_matching_prepared(carry, bucketed, block_q=tq,
                                            block_k=tk,
-                                           interpret=args.interpret)
+                                           interpret=args.interpret,
+                                           two_stage_min=args.two_stage_min)
             return carry + (0.0 * out[:, :1]).astype(carry.dtype), out
 
         @jax.jit

@@ -74,3 +74,17 @@ def test_prepared_path_equals_wrapper(rng):
     a1 = np.asarray(global_matching_prepared(q, b, interpret=True))
     a2 = np.asarray(global_matching_pallas(q, k, onehot, interpret=True))
     np.testing.assert_allclose(a1, a2, atol=0)
+
+
+def test_two_stage_min_variant_is_exact(rng):
+    """The two-stage row-min (scripts/bench_matching_kernel.py
+    --two_stage_min) is the same min, reassociated — bitwise equal."""
+    nq, nk, c, o = 96, 1024, 24, 3
+    q = jnp.array(rng.normal(size=(nq, c)), jnp.float32)
+    k = jnp.array(rng.normal(size=(nk, c)), jnp.float32)
+    onehot = jnp.array(np.eye(o, dtype=np.float32)[rng.integers(0, o, size=nk)])
+    b = prepare_ref(k, onehot)
+    base = np.asarray(global_matching_prepared(q, b, interpret=True))
+    two = np.asarray(global_matching_prepared(q, b, interpret=True,
+                                              two_stage_min=True))
+    np.testing.assert_array_equal(base, two)
