@@ -215,7 +215,9 @@ class DavisInteractiveSession(InteractiveSession):
                 max_nb_interactions: int = 8,
                 max_time: Optional[float] = None,
                 metric_to_optimize: str = "J_AND_F",
-                dataset=None, **kwargs):
+                dataset=None, save_report_dir: Optional[str] = None,
+                **kwargs):
+        del save_report_dir  # consumed by __init__ (local mode only)
         if isinstance(host, str) and host.startswith(("http://", "https://")):
             from cvpr2020_manet_tpu.interactive.service import RemoteSession
             if dataset is None and davis_root is not None:
@@ -235,13 +237,26 @@ class DavisInteractiveSession(InteractiveSession):
                  max_nb_interactions: int = 8,
                  max_time: Optional[float] = None,
                  metric_to_optimize: str = "J_AND_F",
-                 dataset=None, **kwargs):
+                 dataset=None, save_report_dir: Optional[str] = None,
+                 **kwargs):
         del host, key
         if dataset is None:
             if davis_root is None:
                 raise ValueError("pass davis_root=... or dataset=...")
             from cvpr2020_manet_tpu.data.davis import DavisEvalDataset
             dataset = DavisEvalDataset(davis_root, subset=subset)
+        # upstream semantics: the session writes its report CSV into
+        # save_report_dir when the protocol loop closes
+        self._save_report_dir = save_report_dir
         super().__init__(dataset, max_interactions=max_nb_interactions,
                          max_time=max_time,
                          metric_to_optimize=metric_to_optimize, **kwargs)
+
+    def __exit__(self, *exc):
+        if self._save_report_dir is not None and exc[0] is None:
+            import os
+            os.makedirs(self._save_report_dir, exist_ok=True)
+            self.get_report().to_csv(
+                os.path.join(self._save_report_dir, "report.csv"),
+                index=False)
+        return super().__exit__(*exc)

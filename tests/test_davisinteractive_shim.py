@@ -163,6 +163,29 @@ def test_robot_upstream_interact_returns_payload():
 # -------------------------------------------------------------- session
 
 
+def test_session_save_report_dir(tmp_path):
+    """Upstream's save_report_dir: the report CSV lands on disk when the
+    session closes."""
+    import os
+
+    import pandas as pd
+
+    from davisinteractive.session import DavisInteractiveSession
+
+    ds = SyntheticDataset(num_sequences=1, scribble_sets=1, num_frames=3)
+    gt = ds.gt_masks(ds.sequences()[0])
+    out = str(tmp_path / "reports")
+    with DavisInteractiveSession(dataset=ds, max_nb_interactions=2,
+                                 save_report_dir=out) as sess:
+        while sess.next():
+            sess.submit_masks(gt)
+    path = os.path.join(out, "report.csv")
+    assert os.path.exists(path)
+    df = pd.read_csv(path)
+    assert len(df) == len(sess.get_report())
+    assert "jaccard" in df.columns
+
+
 def test_session_shim_runs_upstream_style_loop():
     """The reference eval loop (SURVEY.md §4.1), written ONLY against
     `davisinteractive.*` imports."""
