@@ -23,12 +23,15 @@ Synchronization (double-buffered + per-slot consumed handshake):
   step ahead, overwriting a slot still being read (observed as wrong
   minima in the 1x4 interpret test before the handshake).
 
-Headroom note (deliberate simplicity): k-tiles are copied ANY->VMEM
-with an immediate wait (no intra-step double buffering) — on real
-multi-chip hardware the §9 two-slot DMA pattern belongs here; this
-sandbox has one chip, so the kernel is validated in interpret mode
-(`pltpu.InterpretParams` simulates the remote DMAs on a CPU mesh) and
-the intra-step overlap is left to a hardware round.
+Intra-step k-tile streaming is double-buffered (guide §9 two-slot DMA
+pattern): tile j+1's ANY->VMEM copies start before tile j's wait, so
+the next tile's transfer rides under the current tile's dot+min.
+Sequential grid iterations make the slot reuse safe: by the time
+iteration j runs, iteration j-1's reads of slot (j-1)%2 are complete.
+The overlap itself can only be MEASURED on real multi-chip hardware;
+this sandbox has one chip, so the kernel is validated for correctness
+in interpret mode (`pltpu.InterpretParams` simulates the remote DMAs
+on a CPU mesh).
 
 Ref: the reference bounds matching memory by Python-loop chunking on one
 GPU (ref:networks/IntVOS.py global_matching_for_eval, expected); it has
@@ -58,7 +61,7 @@ def _ring_kernel(dev_ref,                       # SMEM prefetch: ring coords
                  buf_neg2, buf_sq, buf_obj,      # rotating buffers (2, ...)
                  acc_hbm,                        # (NQB, o_pad, TQ)
                  acc_vmem, k_vmem, kn_vmem, oh_vmem,
-                 local_sem, acc_sem,
+                 local_sem, acc_sem, tile_sems,
                  send_sems, recv_sems, ready_sems,
                  *, n_steps, axis_name):
     s = pl.program_id(0)
@@ -139,27 +142,44 @@ def _ring_kernel(dev_ref,                       # SMEM prefetch: ring coords
             cp.start()
             cp.wait()
 
-    # ---- matching tile: stream k block j of the current shard
-    cp = pltpu.make_async_copy(
-        buf_neg2.at[slot, pl.ds(j * k_vmem.shape[0], k_vmem.shape[0]), :],
-        k_vmem, local_sem)
-    cp.start()
-    cp.wait()
-    cp = pltpu.make_async_copy(buf_sq.at[slot, pl.ds(j, 1), :], kn_vmem,
-                               local_sem)
-    cp.start()
-    cp.wait()
-    cp = pltpu.make_async_copy(buf_obj.at[slot, pl.ds(j, 1), :], oh_vmem,
-                               local_sem)
-    cp.start()
-    cp.wait()
+    # ---- matching tile: stream k block j of the current shard, double-
+    # buffered (guide §9): tile j+1's copies start BEFORE tile j's wait,
+    # overlapping the next transfer with this tile's dot+min. Slot reuse
+    # is safe because grid iterations are sequential: iteration j-1's
+    # reads of slot (j-1)%2 completed before this iteration started.
+    bk = k_vmem.shape[1]
+    jslot = jax.lax.rem(j, 2)
+    jnext = jax.lax.rem(j + 1, 2)
+
+    def tile_copies(jj, sl):
+        return (
+            pltpu.make_async_copy(buf_neg2.at[slot, pl.ds(jj * bk, bk), :],
+                                  k_vmem.at[sl], tile_sems.at[sl, 0]),
+            pltpu.make_async_copy(buf_sq.at[slot, pl.ds(jj, 1), :],
+                                  kn_vmem.at[sl], tile_sems.at[sl, 1]),
+            pltpu.make_async_copy(buf_obj.at[slot, pl.ds(jj, 1), :],
+                                  oh_vmem.at[sl], tile_sems.at[sl, 2]),
+        )
+
+    @pl.when(j == 0)
+    def _tile_warmup():
+        for cp in tile_copies(0, 0):
+            cp.start()
+
+    @pl.when(j + 1 < nkb)
+    def _tile_prefetch():
+        for cp in tile_copies(j + 1, jnext):
+            cp.start()
+
+    for cp in tile_copies(j, jslot):
+        cp.wait()
 
     cross2 = jax.lax.dot_general(
-        q_ref[:], k_vmem[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        q_ref[:], k_vmem[jslot], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    e = cross2 + kn_vmem[0, :][None, :]
+    e = cross2 + kn_vmem[jslot, 0, :][None, :]
     dmin = jnp.min(e, axis=1)                            # (TQ,)
-    ohrow = oh_vmem[0, :]                                # (o_pad,)
+    ohrow = oh_vmem[jslot, 0, :]                         # (o_pad,)
     upd = jnp.where(ohrow[:, None] > 0, dmin[None, :],
                     WRONG_LABEL_PADDING_DISTANCE)
     acc_vmem[:] = jnp.minimum(acc_vmem[:], upd)
@@ -269,11 +289,12 @@ def ring_matching_shard(
             ),
             scratch_shapes=[
                 pltpu.VMEM((o_pad, block_q), jnp.float32),
-                pltpu.VMEM((block_k, c_pad), jnp.float32),
-                pltpu.VMEM((1, block_k), jnp.float32),
-                pltpu.VMEM((1, o_pad), jnp.float32),
+                pltpu.VMEM((2, block_k, c_pad), jnp.float32),
+                pltpu.VMEM((2, 1, block_k), jnp.float32),
+                pltpu.VMEM((2, 1, o_pad), jnp.float32),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((2, 3)),   # k-tile double buffer
                 pltpu.SemaphoreType.DMA((6,)),
                 pltpu.SemaphoreType.DMA((6,)),
                 pltpu.SemaphoreType.REGULAR((2,)),
