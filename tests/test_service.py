@@ -157,6 +157,42 @@ def test_session_registry_bounded():
     svc.get(sids[-1])
 
 
+def test_concurrent_sessions_and_dataset_info(server):
+    """ThreadingHTTPServer: concurrent clients run full protocols in
+    parallel sessions (per-session locks) and racing first
+    /api/dataset requests all get the same cached metadata
+    (dataset_info's lock)."""
+    import threading
+
+    srv, ds = server
+    port = srv.server_address[1]
+    infos, errors = [], []
+
+    def client():
+        try:
+            sess = RemoteSession(f"http://127.0.0.1:{port}",
+                                 max_nb_interactions=2)
+            infos.append(sess.dataset._meta())
+            rows = []
+            _run(sess, ds, rows)
+            assert len(rows) > 0
+            infos.append(len(sess.get_report()))
+        except Exception as e:  # surfaces in the main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=client) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    metas = [i for i in infos if isinstance(i, dict)]
+    counts = [i for i in infos if isinstance(i, int)]
+    assert len(metas) == len(counts) == 4
+    assert all(m == metas[0] for m in metas)
+    assert all(c == counts[0] and c > 0 for c in counts)
+
+
 def test_remote_errors_surface(server):
     srv, ds = server
     port = srv.server_address[1]
