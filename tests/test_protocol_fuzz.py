@@ -138,6 +138,44 @@ def test_robot_fuzz_payload_schema(seed):
         assert hit > 0.8, (obj, hit)
 
 
+@pytest.mark.parametrize("seed", range(3))
+def test_session_fuzz_random_model(seed):
+    """A model emitting random garbage masks still drives the protocol
+    to completion with a well-formed report (ranges, row accounting,
+    positive per-row timing, bounded AUC)."""
+    from cvpr2020_manet_tpu.data import SyntheticDataset
+    from cvpr2020_manet_tpu.interactive.session import InteractiveSession
+
+    rng = np.random.default_rng(300 + seed)
+    ds = SyntheticDataset(num_sequences=2, scribble_sets=1, num_frames=3)
+    session = InteractiveSession(ds, max_interactions=3)
+    rounds = {}
+    with session as sess:
+        while sess.next():
+            seq, scr, _ = sess.get_scribbles(only_last=True)
+            gt = ds.gt_masks(seq)
+            n = ds.num_objects(seq)
+            sess.submit_masks(
+                rng.integers(0, n + 1, size=gt.shape).astype(np.int32))
+            rounds[sess.current] = rounds.get(sess.current, 0) + 1
+
+    # random masks always leave errors -> every item runs all rounds
+    assert all(v == 3 for v in rounds.values()) and len(rounds) == 2
+    report = session.get_report()
+    per_item_rows = 3 * 2 * 3                  # rounds x objects x frames
+    assert len(report) == 2 * per_item_rows
+    assert ((0.0 <= report.jaccard) & (report.jaccard <= 1.0)).all()
+    assert ((0.0 <= report.contour) & (report.contour <= 1.0)).all()
+    assert (report.timing > 0.0).all()
+    # timing is cumulative within an item across interactions
+    for seq in report.sequence.unique():
+        t = report[report.sequence == seq].groupby(
+            "interaction").timing.first()
+        assert t.is_monotonic_increasing
+    summary = session.get_global_summary(max_time=60.0, at_threshold=30.0)
+    assert 0.0 <= summary["auc"] <= 1.0
+
+
 def test_robot_min_path_nodes_one_does_not_crash():
     """min_path_nodes=1 (upstream robot's min_nb_nodes can be 1) must not
     divide by zero in the subsampling stride."""
