@@ -1,5 +1,5 @@
-"""`davisinteractive.utils` — scribble / geometry helpers."""
+"""`davisinteractive.utils` — scribble / geometry / plotting helpers."""
 
-from davisinteractive.utils import operations, scribbles
+from davisinteractive.utils import operations, scribbles, visualization
 
-__all__ = ["operations", "scribbles"]
+__all__ = ["operations", "scribbles", "visualization"]

@@ -1,0 +1,43 @@
+"""`davisinteractive.utils.visualization` — scribble plotting (upstream:
+davisinteractive/utils/visualization.py).
+
+`plot_scribble` draws one frame's scribble polylines onto a matplotlib
+axes, colored per object. Image-space rasterized overlays (no
+matplotlib) live in `cvpr2020_manet_tpu.utils.visualize`.
+"""
+
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from cvpr2020_manet_tpu.interactive.scribbles import Scribbles
+from cvpr2020_manet_tpu.utils.colormap import davis_palette
+
+__all__ = ["plot_scribble"]
+
+
+def plot_scribble(ax, scribble, frame: int,
+                  output_size: Optional[Tuple[int, int]] = None,
+                  **line_kwargs):
+    """Plot a scribble payload's `frame` on matplotlib axes `ax`.
+
+    Path coordinates are normalized [0, 1]; with `output_size=(H, W)`
+    they scale to pixel coordinates (matching `scribbles2mask`), which
+    lines up with an `ax.imshow(frame_image)` underneath. Extra kwargs
+    pass through to `ax.plot`. Returns `ax`.
+    """
+    sc: Dict[str, Any] = (scribble.to_json()
+                          if isinstance(scribble, Scribbles) else scribble)
+    palette = davis_palette().astype(np.float64) / 255.0
+    for line in sc["scribbles"][frame]:
+        path = np.asarray(line["path"], dtype=np.float64)
+        if path.size == 0:
+            continue
+        x, y = path[:, 0], path[:, 1]
+        if output_size is not None:
+            h, w = output_size
+            x, y = x * (w - 1), y * (h - 1)
+        obj = int(line["object_id"])
+        color = palette[obj] if obj > 0 else (1.0, 1.0, 1.0)
+        ax.plot(x, y, color=tuple(color), **line_kwargs)
+    return ax
