@@ -77,6 +77,48 @@ def test_metrics_fuzz_ranges_and_identities(seed):
         assert f_measure(a, b) == pytest.approx(f_measure(b, a))
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_f_measure_matches_bruteforce_oracle(seed):
+    """Independent oracle: the dilation/EDT-based boundary F equals a
+    brute-force pairwise-distance matcher (a pred-boundary pixel is a
+    true positive iff some gt-boundary pixel lies within bound_pix
+    euclidean distance — the definition the disk dilation encodes)."""
+    from cvpr2020_manet_tpu.interactive.metrics import _mask_boundary
+
+    def brute_f(pred, gt, bound_th=0.008):
+        pred, gt = pred.astype(bool), gt.astype(bool)
+        if not pred.any() and not gt.any():
+            return 1.0
+        r2 = max(1, int(np.ceil(
+            bound_th * np.linalg.norm(pred.shape)))) ** 2
+        pb = np.argwhere(_mask_boundary(pred))
+        gb = np.argwhere(_mask_boundary(gt))
+        if len(pb) == 0 and len(gb) == 0:
+            return 1.0
+        if len(pb) == 0 or len(gb) == 0:
+            return 0.0
+        d2 = ((pb[:, None, :] - gb[None, :, :]) ** 2).sum(-1)
+        precision = (d2.min(axis=1) <= r2).mean()
+        recall = (d2.min(axis=0) <= r2).mean()
+        if precision + recall == 0:
+            return 0.0
+        return float(2 * precision * recall / (precision + recall))
+
+    rng = np.random.default_rng(400 + seed)
+    for _ in range(4):
+        h, w = int(rng.integers(10, 40)), int(rng.integers(10, 40))
+        pred = np.zeros((h, w), bool)
+        gt = np.zeros((h, w), bool)
+        for m in (pred, gt):
+            for _ in range(rng.integers(1, 3)):
+                y, x = rng.integers(0, h - 4), rng.integers(0, w - 4)
+                dy, dx = rng.integers(2, 8, size=2)
+                m[y:y + dy, x:x + dx] = True
+        got = f_measure(pred, gt)
+        want = brute_f(pred, gt)
+        assert got == pytest.approx(want, abs=1e-12), (got, want)
+
+
 def test_metrics_disjoint_and_empty_conventions():
     a = np.zeros((8, 8), bool)
     b = np.zeros((8, 8), bool)
