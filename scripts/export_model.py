@@ -1,0 +1,99 @@
+"""Export a serving artifact (.ivosx): AOT-lowered round forward.
+
+Examples:
+  # flagship 480p, 4-object bucket, TPU artifact (Pallas matching kernels)
+  python scripts/export_model.py --out manet_480p.ivosx
+
+  # portable CPU+TPU artifact (jnp matching) from a release checkpoint
+  python scripts/export_model.py --out manet.ivosx --platforms cpu,tpu \
+      --matching_backend jnp --release /ckpts/release
+
+  # round-trip self-check (loads the file back, compares vs direct apply)
+  python scripts/export_model.py --out /tmp/m.ivosx --tiny --check \
+      --platforms cpu --matching_backend jnp
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", required=True)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--width", type=int, default=854)
+    p.add_argument("--objects", type=int, default=None,
+                   help="object bucket (default: config max_objects)")
+    p.add_argument("--platforms", default="tpu",
+                   help="comma list; multi-platform requires jnp matching")
+    p.add_argument("--matching_backend", default="auto")
+    p.add_argument("--release", default=None,
+                   help="load params from an export_release directory")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny test config (CI / smoke)")
+    p.add_argument("--check", action="store_true",
+                   help="load the artifact back and compare vs direct apply")
+    args = p.parse_args(argv)
+
+    import jax
+    platforms = tuple(s.strip() for s in args.platforms.split(",") if s.strip())
+    if "tpu" not in platforms:
+        # CPU-only artifacts never need the device; pin the platform so
+        # param init doesn't dispatch through the sandbox's default
+        # (tunneled-TPU) backend.
+        try:
+            jax.config.update("jax_platforms", ",".join(platforms))
+        except RuntimeError:
+            pass  # backends already initialized (e.g. under pytest)
+    import jax.numpy as jnp
+
+    from cvpr2020_manet_tpu.config import Config, tiny_test_config
+    from cvpr2020_manet_tpu.models import MANet
+    from cvpr2020_manet_tpu.utils import export as ex
+
+    cfg = tiny_test_config() if args.tiny else Config()
+    h, w = (cfg.eval.image_size if args.tiny else (args.height, args.width))
+    num_objects = args.objects or cfg.model.max_objects
+    o = cfg.model.max_objects + 1
+    pad_to = cfg.eval.pad_to
+
+    model = MANet(cfg.model, matching_backend=args.matching_backend)
+    hp, wp = h + (-h) % pad_to, w + (-w) % pad_to
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, hp, wp, 3)),
+        jnp.zeros((1, hp // 4, wp // 4, o)), jnp.zeros((1, hp // 4, wp // 4, o)))
+    if args.release:
+        from cvpr2020_manet_tpu.utils.checkpoint import load_release
+        variables = dict(variables,
+                         params=load_release(variables["params"], args.release))
+
+    exported = ex.export_forward(model, variables, (h, w), num_objects,
+                                 platforms=platforms, pad_to=pad_to)
+    manifest = ex.save_artifact(exported, args.out, extra={
+        "image_size": [h, w], "num_objects": num_objects,
+        "matching_backend": args.matching_backend,
+        "release": args.release or "",
+    })
+    print(json.dumps(manifest, sort_keys=True))
+
+    if args.check:
+        loaded = ex.load_artifact(args.out)
+        fn, example_args = ex.build_round_forward(
+            model, variables, (h, w), num_objects, pad_to=pad_to)
+        rng = np.random.default_rng(0)
+        argv_ = [jnp.asarray(rng.standard_normal(a.shape), a.dtype)
+                 for a in example_args]
+        got = np.asarray(loaded(*argv_))
+        want = np.asarray(jax.jit(fn)(*argv_))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        print("check: artifact output matches direct apply")
+
+
+if __name__ == "__main__":
+    main()
