@@ -108,6 +108,30 @@ def test_wrong_shape_call_raises(model_and_vars, tmp_path):
                jnp.zeros((h // 4, w // 4, o)), jnp.zeros((h // 4, w // 4, o)))
 
 
+def test_tpu_cross_lowering_embeds_pallas(tmp_path):
+    """A TPU artifact — production Pallas matching kernels included — can
+    be lowered + serialized from a CPU-only build machine (the real
+    deployment flow: build host has no chip, serving fleet does)."""
+    cfg = tiny_test_config()
+    h, w = cfg.eval.image_size
+    o = cfg.model.max_objects + 1
+    model = MANet(cfg.model, matching_backend="pallas")
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)),
+        jnp.zeros((1, h // 4, w // 4, o)), jnp.zeros((1, h // 4, w // 4, o)))
+    exported = ex.export_forward(model, variables, (h, w),
+                                 cfg.model.max_objects,
+                                 platforms=("tpu",), pad_to=cfg.eval.pad_to)
+    assert exported.platforms == ("tpu",)
+    assert "tpu_custom_call" in exported.mlir_module()
+    path = str(tmp_path / "tpu.ivosx")
+    manifest = ex.save_artifact(exported, path)
+    assert manifest["platforms"] == ["tpu"]
+    # loads (deserializes) fine on this CPU-only host; execution needs a TPU
+    loaded = ex.load_artifact(path)
+    assert loaded.manifest["platforms"] == ["tpu"]
+
+
 def test_cli_export_and_check(tmp_path, capsys):
     from scripts.export_model import main
     out = str(tmp_path / "cli.ivosx")
