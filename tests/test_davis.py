@@ -1,48 +1,14 @@
 """DAVIS adapters tested against a synthetic on-disk DAVIS tree."""
 
-import json
-import os
-
 import numpy as np
-import pytest
-from PIL import Image
 
 from cvpr2020_manet_tpu.config import tiny_test_config
 from cvpr2020_manet_tpu.data.davis import (
     DavisEvalDataset, DavisTrainDataset, normalize_image)
-from cvpr2020_manet_tpu.utils.colormap import davis_palette
 
 
-@pytest.fixture
-def davis_root(tmp_path):
-    root = tmp_path / "DAVIS"
-    seqs = ["seq_a", "seq_b"]
-    h, w, t = 64, 96, 4
-    rng = np.random.default_rng(0)
-    for seq in seqs:
-        (root / "JPEGImages" / "480p" / seq).mkdir(parents=True)
-        (root / "Annotations" / "480p" / seq).mkdir(parents=True)
-        (root / "Scribbles" / seq).mkdir(parents=True)
-        for f in range(t):
-            img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
-            Image.fromarray(img).save(
-                root / "JPEGImages" / "480p" / seq / f"{f:05d}.jpg")
-            mask = np.zeros((h, w), np.uint8)
-            mask[10:30, 10 + 2 * f:40 + 2 * f] = 1
-            mask[40:60, 50:80] = 2
-            m = Image.fromarray(mask, mode="P")
-            m.putpalette(davis_palette().reshape(-1).tolist())
-            m.save(root / "Annotations" / "480p" / seq / f"{f:05d}.png")
-        for s in range(1, 4):
-            payload = {"sequence": seq, "scribbles": [
-                [{"path": [[0.2, 0.3], [0.5, 0.4]], "object_id": 1}]
-                if f == 0 else [] for f in range(t)]}
-            with open(root / "Scribbles" / seq / f"{s:03d}.json", "w") as fp:
-                json.dump(payload, fp)
-    (root / "ImageSets" / "2017").mkdir(parents=True)
-    (root / "ImageSets" / "2017" / "val.txt").write_text("seq_a\nseq_b\n")
-    (root / "ImageSets" / "2017" / "train.txt").write_text("seq_a\nseq_b\n")
-    return str(root)
+# davis_root fixture (synthetic on-disk DAVIS tree) lives in conftest.py —
+# shared with the shim tests.
 
 
 def test_eval_dataset_reads_tree(davis_root):

@@ -217,3 +217,71 @@ def test_session_shim_runs_upstream_style_loop():
             "timing"} <= set(report.columns)
     summary = sess.get_global_summary(max_time=10.0, at_threshold=5.0)
     assert 0.0 < summary["auc"] <= 1.0
+
+
+def test_dataset_davis_over_tree(davis_root):
+    """`davisinteractive.dataset.Davis` surface over a DAVIS tree."""
+    from davisinteractive.dataset import Davis
+
+    davis = Davis(davis_root)
+    assert davis.sets["val"] == ["seq_a", "seq_b"]
+    davis.check_files(["seq_a"])
+    meta = davis.sequence_metadata("seq_a")
+    assert meta == {"num_frames": 4, "num_scribbles": 3,
+                    "num_objects": 2, "image_size": (96, 64)}
+    assert davis.dataset["seq_b"]["num_frames"] == 4
+    scr = davis.load_scribble("seq_a", 1)       # 1-based upstream index
+    assert scr["sequence"] == "seq_a" and len(scr["scribbles"]) == 4
+    ann = davis.load_annotations("seq_a")
+    assert ann.shape == (4, 64, 96) and ann.max() == 2
+    imgs = davis.load_images("seq_a")
+    assert imgs.shape == (4, 64, 96, 3) and imgs.dtype == np.uint8
+
+
+def test_dataset_davis_requires_root(monkeypatch):
+    from davisinteractive.dataset import Davis
+    monkeypatch.delenv("DATASET_DAVIS", raising=False)
+    with pytest.raises(ValueError, match="root dir"):
+        Davis()
+
+
+def test_dataset_davis_check_files_raises(davis_root):
+    from davisinteractive.dataset import Davis
+    with pytest.raises(FileNotFoundError, match="no_such_seq"):
+        Davis(davis_root).check_files(["no_such_seq"])
+
+
+def test_local_storage_roundtrip():
+    from davisinteractive.storage import AbstractStorage, LocalStorage
+
+    st = LocalStorage()
+    assert isinstance(st, AbstractStorage)
+    st.store_interactions_results(
+        "user", "sess1", "seq_a", 1, 1, 2.5,
+        objects_idx=[1, 1, 2, 2], frames_idx=[0, 1, 0, 1],
+        jaccard=[0.5, 0.6, 0.7, 0.8], contour=[0.4, 0.5, 0.6, 0.7])
+    st.store_interactions_results(
+        "user", "sess1", "seq_a", 1, 2, 1.5,
+        objects_idx=[1, 2], frames_idx=[0, 0],
+        jaccard=[0.9, 0.95], contour=[0.9, 0.9])
+    df = st.get_report("sess1")
+    assert list(df.columns) == AbstractStorage.COLUMNS
+    assert len(df) == 6
+    assert sorted(df["interaction"].unique()) == [1, 2]
+    assert st.get_annotated_frames("sess1", "seq_a", 1) == [0, 1]
+    assert st.get_report("other").empty
+
+
+def test_local_storage_validates():
+    from davisinteractive.storage import LocalStorage
+
+    st = LocalStorage()
+    with pytest.raises(ValueError, match="same length"):
+        st.store_interactions_results("u", "s", "q", 1, 1, 0.0,
+                                      [1], [0, 1], [0.5], [0.5])
+    with pytest.raises(ValueError, match="jaccard"):
+        st.store_interactions_results("u", "s", "q", 1, 1, 0.0,
+                                      [1], [0], [1.5], [0.5])
+    with pytest.raises(ValueError, match="out of order"):
+        st.store_interactions_results("u", "s", "q", 1, 2, 0.0,
+                                      [1], [0], [0.5], [0.5])
