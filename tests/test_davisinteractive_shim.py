@@ -285,3 +285,16 @@ def test_local_storage_validates():
     with pytest.raises(ValueError, match="out of order"):
         st.store_interactions_results("u", "s", "q", 1, 2, 0.0,
                                       [1], [0], [0.5], [0.5])
+
+
+def test_logging_shim(caplog):
+    import logging as stdlib_logging
+
+    from davisinteractive import logging as dlog
+
+    dlog.set_info_level()
+    with caplog.at_level(stdlib_logging.INFO, logger="davisinteractive"):
+        dlog.info("hello %s", "world")
+        dlog.warning("careful")
+    msgs = [r.getMessage() for r in caplog.records]
+    assert "hello world" in msgs and "careful" in msgs
