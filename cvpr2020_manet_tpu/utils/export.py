@@ -94,6 +94,82 @@ def build_round_forward(model, variables, image_size: Tuple[int, int],
     return fn, example_args
 
 
+def build_serving_fns(model, variables, image_size: Tuple[int, int],
+                      num_objects: int, pad_to: int = 32
+                      ) -> Dict[str, Tuple[Callable, tuple]]:
+    """name -> (fn, example_args): the per-frame serving loop, staged.
+
+    A serving host drives the full interactive-VOS loop from these five
+    graphs alone (no Python model code), keeping the state arrays
+    (features, embeddings, matching memory, MA memory, masks) itself:
+
+      extract(image (H,W,3))               -> feat (h,w,Cd), emb (h,w,Ce)
+      interact(feat, pos, neg, prev_mask)  -> int_feats (O,h,w,Cma),
+                                              probs (h,w,O)
+      aggregate_first(int_feats)           -> memory (O,h,w,Cma)
+      aggregate_update(int_feats, memory)  -> memory
+      propagate(feat, emb, ref_emb (N,Ce), ref_onehot (N,O),
+                gmap_prev, prev_emb, prev_mask, memory, obj_valid)
+                                           -> probs (h,w,O), gmap (h,w,O)
+
+    N (matching-memory rows) is one annotated frame's pixels (h*w);
+    stack rounds by re-running propagate with min-fused gmap_prev, the
+    same policy engine/evaluator.py uses in 'min_fused' mode. All shapes
+    static per artifact (config.py bucket policy).
+    """
+    h, w = image_size
+    hp, wp = h + (-h) % pad_to, w + (-w) % pad_to
+    hh, ww = hp // 4, wp // 4
+    o = num_objects + 1
+    cfg = model.cfg
+    cd, ce, cma = cfg.decoder_channels, cfg.embedding_dim_padded, \
+        cfg.ma_channels
+
+    def extract(image):
+        img = jnp.pad(image, ((0, hp - h), (0, wp - w), (0, 0)))
+        feat, emb = model.apply(variables, img[None],
+                                method=model.extract_features)
+        return feat[0], emb[0]
+
+    def interact(feat, pos_scr, neg_scr, prev_mask):
+        int_feats, logits = model.apply(
+            variables, feat, pos_scr, neg_scr, prev_mask,
+            method=model.interact)
+        return int_feats, jax.nn.softmax(logits, axis=-1)
+
+    def aggregate_first(int_feats):
+        return model.apply(variables, int_feats, jnp.zeros_like(int_feats),
+                           True, method=model.aggregate_memory)
+
+    def aggregate_update(int_feats, memory):
+        return model.apply(variables, int_feats, memory, False,
+                           method=model.aggregate_memory)
+
+    def propagate(feat, emb, ref_emb, ref_onehot, gmap_prev, prev_emb,
+                  prev_mask, memory, obj_valid):
+        logits, gmap = model.apply(
+            variables, feat, emb, ref_emb, ref_onehot, None, gmap_prev,
+            prev_emb, prev_mask, memory, obj_valid, method=model.propagate)
+        return jax.nn.softmax(logits, axis=-1), gmap
+
+    mdtype = jnp.dtype(cfg.dtype)
+    feat_s = jnp.zeros((hh, ww, cd), mdtype)
+    emb_s = jnp.zeros((hh, ww, ce), mdtype)   # embedding head runs in mdtype
+    maps_s = jnp.zeros((hh, ww, o), jnp.float32)
+    mem_s = jnp.zeros((o, hh, ww, cma), mdtype)
+    return {
+        "extract": (extract, (jnp.zeros((h, w, 3), jnp.float32),)),
+        "interact": (interact, (feat_s, maps_s, maps_s, maps_s)),
+        "aggregate_first": (aggregate_first, (mem_s,)),
+        "aggregate_update": (aggregate_update, (mem_s, mem_s)),
+        "propagate": (propagate, (feat_s, emb_s,
+                                  jnp.zeros((hh * ww, ce), mdtype),
+                                  jnp.zeros((hh * ww, o), jnp.float32),
+                                  maps_s, emb_s, maps_s, mem_s,
+                                  jnp.ones((o,), jnp.float32))),
+    }
+
+
 # --------------------------------------------------------------------- #
 # export / save / load
 # --------------------------------------------------------------------- #
@@ -177,3 +253,94 @@ def load_artifact(path: str) -> LoadedArtifact:
     except Exception as e:
         raise ValueError(f"{path}: corrupt export blob: {e}") from e
     return LoadedArtifact(manifest=manifest, exported=exported)
+
+
+# --------------------------------------------------------------------- #
+# serving bundles (multiple named graphs in one file)
+# --------------------------------------------------------------------- #
+
+_BUNDLE_MAGIC = b"IVOSB1\n"
+BUNDLE_FORMAT = "ivosx-bundle/1"
+
+
+def export_serving_bundle(model, variables, image_size: Tuple[int, int],
+                          num_objects: int, *,
+                          platforms: Sequence[str] = ("tpu",),
+                          pad_to: int = 32):
+    """Lower every serving-loop stage -> {name: jax.export.Exported}."""
+    from jax import export as jex
+
+    checks = []
+    if "tpu" in platforms:
+        checks.append(jex.DisabledSafetyCheck.custom_call("tpu_custom_call"))
+    fns = build_serving_fns(model, variables, image_size, num_objects,
+                            pad_to=pad_to)
+    return {name: jex.export(jax.jit(fn), platforms=tuple(platforms),
+                             disabled_checks=checks)(*args)
+            for name, (fn, args) in fns.items()}
+
+
+def save_bundle(exports: Dict[str, Any], path: str,
+                extra: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+    """Write named exports as one .ivosx bundle; returns the manifest."""
+    names = sorted(exports)
+    blobs = {n: exports[n].serialize() for n in names}
+    manifest = {
+        "format": BUNDLE_FORMAT,
+        "jax_version": jax.__version__,
+        "entries": {n: {
+            "length": len(blobs[n]),
+            "platforms": list(exports[n].platforms),
+            "in_avals": _aval_json(exports[n].in_avals),
+            "out_avals": _aval_json(exports[n].out_avals),
+        } for n in names},
+    }
+    if extra:
+        manifest.update(extra)
+    manifest = json.loads(json.dumps(manifest, sort_keys=True))
+    with open(path, "wb") as f:
+        f.write(_BUNDLE_MAGIC)
+        f.write(json.dumps(manifest, sort_keys=True).encode() + b"\n")
+        for n in names:                    # sorted-name order, concatenated
+            f.write(blobs[n])
+    return manifest
+
+
+@dataclasses.dataclass(frozen=True)
+class LoadedBundle:
+    """A deserialized serving bundle: bundle['propagate'](*args)."""
+    manifest: Dict[str, Any]
+    _entries: Dict[str, Any]
+
+    @property
+    def names(self):
+        return sorted(self._entries)
+
+    def __getitem__(self, name: str) -> Callable:
+        return self._entries[name].call
+
+
+def load_bundle(path: str) -> LoadedBundle:
+    with open(path, "rb") as f:
+        magic = f.read(len(_BUNDLE_MAGIC))
+        if magic != _BUNDLE_MAGIC:
+            raise ValueError(
+                f"{path}: not an {BUNDLE_FORMAT} bundle (bad magic "
+                f"{magic!r})")
+        try:
+            manifest = json.loads(f.readline())
+        except json.JSONDecodeError as e:
+            raise ValueError(f"{path}: corrupt manifest: {e}") from e
+        if manifest.get("format") != BUNDLE_FORMAT:
+            raise ValueError(
+                f"{path}: unsupported format {manifest.get('format')!r}")
+        from jax import export as jex
+        entries = {}
+        for name in sorted(manifest["entries"]):
+            blob = f.read(manifest["entries"][name]["length"])
+            try:
+                entries[name] = jex.deserialize(blob)
+            except Exception as e:
+                raise ValueError(
+                    f"{path}: corrupt blob for entry {name!r}: {e}") from e
+    return LoadedBundle(manifest=manifest, _entries=entries)

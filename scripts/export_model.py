@@ -37,6 +37,10 @@ def main(argv=None):
                    help="load params from an export_release directory")
     p.add_argument("--tiny", action="store_true",
                    help="tiny test config (CI / smoke)")
+    p.add_argument("--bundle", action="store_true",
+                   help="write a serving BUNDLE (extract/interact/"
+                        "aggregate/propagate graphs) instead of the "
+                        "single fused round artifact")
     p.add_argument("--check", action="store_true",
                    help="load the artifact back and compare vs direct apply")
     args = p.parse_args(argv)
@@ -73,16 +77,38 @@ def main(argv=None):
         variables = dict(variables,
                          params=load_release(variables["params"], args.release))
 
-    exported = ex.export_forward(model, variables, (h, w), num_objects,
-                                 platforms=platforms, pad_to=pad_to)
-    manifest = ex.save_artifact(exported, args.out, extra={
+    extra = {
         "image_size": [h, w], "num_objects": num_objects,
         "matching_backend": args.matching_backend,
         "release": args.release or "",
-    })
+    }
+    if args.bundle:
+        exports = ex.export_serving_bundle(model, variables, (h, w),
+                                           num_objects, platforms=platforms,
+                                           pad_to=pad_to)
+        manifest = ex.save_bundle(exports, args.out, extra=extra)
+    else:
+        exported = ex.export_forward(model, variables, (h, w), num_objects,
+                                     platforms=platforms, pad_to=pad_to)
+        manifest = ex.save_artifact(exported, args.out, extra=extra)
     print(json.dumps(manifest, sort_keys=True))
 
-    if args.check:
+    if args.check and args.bundle:
+        bundle = ex.load_bundle(args.out)
+        fns = ex.build_serving_fns(model, variables, (h, w), num_objects,
+                                   pad_to=pad_to)
+        rng = np.random.default_rng(0)
+        for name in bundle.names:
+            fn, example_args = fns[name]
+            argv_ = [jnp.asarray(rng.standard_normal(a.shape), a.dtype)
+                     for a in example_args]
+            got = jax.tree.map(np.asarray, bundle[name](*argv_))
+            want = jax.tree.map(np.asarray, jax.jit(fn)(*argv_))
+            jax.tree.map(lambda g, w_: np.testing.assert_allclose(
+                np.asarray(g, np.float32), np.asarray(w_, np.float32),
+                atol=1e-5), got, want)
+        print("check: all bundle entries match direct apply")
+    elif args.check:
         loaded = ex.load_artifact(args.out)
         fn, example_args = ex.build_round_forward(
             model, variables, (h, w), num_objects, pad_to=pad_to)

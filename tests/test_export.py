@@ -132,6 +132,77 @@ def test_tpu_cross_lowering_embeds_pallas(tmp_path):
     assert loaded.manifest["platforms"] == ["tpu"]
 
 
+def test_serving_bundle_roundtrip_and_loop(model_and_vars, tmp_path):
+    """Drive a full 2-frame interactive round from the BUNDLE ONLY
+    (extract -> interact -> aggregate_first -> propagate), then check
+    every stage output equals the direct model.apply chain."""
+    cfg, model, variables = model_and_vars
+    size = cfg.eval.image_size
+    o = cfg.model.max_objects + 1
+    exports = ex.export_serving_bundle(model, variables, size,
+                                       cfg.model.max_objects,
+                                       platforms=("cpu",),
+                                       pad_to=cfg.eval.pad_to)
+    path = str(tmp_path / "bundle.ivosx")
+    manifest = ex.save_bundle(exports, path, extra={"image_size": list(size)})
+    bundle = ex.load_bundle(path)
+    assert bundle.names == ["aggregate_first", "aggregate_update",
+                            "extract", "interact", "propagate"]
+    assert bundle.manifest == manifest
+
+    fns = ex.build_serving_fns(model, variables, size,
+                               cfg.model.max_objects, pad_to=cfg.eval.pad_to)
+    rng = np.random.default_rng(3)
+    h, w = size
+    hh, ww = h // 4, w // 4
+    img0 = jnp.asarray(rng.standard_normal((h, w, 3)), jnp.float32)
+    img1 = jnp.asarray(rng.standard_normal((h, w, 3)), jnp.float32)
+    pos = jnp.zeros((hh, ww, o)).at[2:4, 2:4, 1].set(1.0)
+    neg = jnp.zeros((hh, ww, o))
+    bg = jnp.zeros((hh, ww, o)).at[..., 0].set(1.0)
+
+    # bundle-driven loop
+    feat0, emb0 = bundle["extract"](img0)
+    int_feats, probs0 = bundle["interact"](feat0, pos, neg, bg)
+    mem = bundle["aggregate_first"](int_feats)
+    feat1, emb1 = bundle["extract"](img1)
+    lab = jnp.argmax(probs0, axis=-1)
+    ref_onehot = jax.nn.one_hot(lab.reshape(-1), o, dtype=jnp.float32)
+    probs1, gmap = bundle["propagate"](
+        feat1, emb1, emb0.reshape(-1, emb0.shape[-1]), ref_onehot,
+        jnp.ones((hh, ww, o), jnp.float32), emb0, probs0, mem,
+        jnp.ones((o,), jnp.float32))
+    mem2 = bundle["aggregate_update"](int_feats, mem)
+
+    # direct chain through the same build_serving_fns closures
+    d_feat0, d_emb0 = fns["extract"][0](img0)
+    d_if, d_p0 = fns["interact"][0](d_feat0, pos, neg, bg)
+    d_mem = fns["aggregate_first"][0](d_if)
+    d_feat1, d_emb1 = fns["extract"][0](img1)
+    d_p1, d_gmap = fns["propagate"][0](
+        d_feat1, d_emb1, d_emb0.reshape(-1, d_emb0.shape[-1]), ref_onehot,
+        jnp.ones((hh, ww, o), jnp.float32), d_emb0, d_p0, d_mem,
+        jnp.ones((o,), jnp.float32))
+    d_mem2 = fns["aggregate_update"][0](d_if, d_mem)
+
+    for got, want in [(probs0, d_p0), (probs1, d_p1), (gmap, d_gmap),
+                      (mem, d_mem), (mem2, d_mem2)]:
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(probs1).sum(-1), 1.0, atol=1e-4)
+
+
+def test_bundle_rejects_artifact_file(model_and_vars, tmp_path):
+    cfg, model, variables = model_and_vars
+    exported = ex.export_forward(model, variables, cfg.eval.image_size,
+                                 cfg.model.max_objects,
+                                 platforms=("cpu",), pad_to=cfg.eval.pad_to)
+    path = str(tmp_path / "m.ivosx")
+    ex.save_artifact(exported, path)
+    with pytest.raises(ValueError, match="bad magic"):
+        ex.load_bundle(path)
+
+
 def test_cli_export_and_check(tmp_path, capsys):
     from scripts.export_model import main
     out = str(tmp_path / "cli.ivosx")
