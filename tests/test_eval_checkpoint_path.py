@@ -11,7 +11,6 @@ from cvpr2020_manet_tpu.config import tiny_test_config
 from cvpr2020_manet_tpu.models import MANet
 from cvpr2020_manet_tpu.utils.checkpoint import export_release
 from cvpr2020_manet_tpu.utils.profiling import LatencyHistogram
-from tests.test_davis import davis_root  # fixture  # noqa: F401
 
 
 def test_eval_cli_loads_release_checkpoint(davis_root, tmp_path, capsys):  # noqa: F811

@@ -3,7 +3,6 @@ on-disk DAVIS tree with the tiny model."""
 
 import json
 
-from tests.test_davis import davis_root  # fixture reuse  # noqa: F401
 
 
 def test_eval_davis_cli(davis_root, tmp_path, capsys):  # noqa: F811

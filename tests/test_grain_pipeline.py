@@ -4,7 +4,6 @@ import numpy as np
 
 from cvpr2020_manet_tpu.config import tiny_test_config
 from cvpr2020_manet_tpu.data.grain_pipeline import make_train_iterator
-from tests.test_davis import davis_root  # fixture  # noqa: F401
 
 
 def test_grain_iterator_batches(davis_root):  # noqa: F811

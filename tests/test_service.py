@@ -10,7 +10,6 @@ from cvpr2020_manet_tpu.data.synthetic import SyntheticDataset
 from cvpr2020_manet_tpu.interactive.service import RemoteSession, serve
 from cvpr2020_manet_tpu.interactive.session import (
     DavisInteractiveSession, InteractiveSession)
-from tests.test_davis import davis_root  # fixture  # noqa: F401
 
 
 @pytest.fixture

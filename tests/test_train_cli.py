@@ -5,7 +5,6 @@ run end to end, not just exist)."""
 import numpy as np
 
 from cvpr2020_manet_tpu.config import tiny_test_config
-from tests.test_davis import davis_root  # fixture  # noqa: F401
 
 
 def test_clip_padding_and_frame_valid(davis_root):  # noqa: F811
