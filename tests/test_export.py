@@ -192,6 +192,27 @@ def test_serving_bundle_roundtrip_and_loop(model_and_vars, tmp_path):
     np.testing.assert_allclose(np.asarray(probs1).sum(-1), 1.0, atol=1e-4)
 
 
+def test_bundle_tpu_cross_lowering(tmp_path):
+    """Serving bundle lowers for TPU from a CPU-only host; the propagate
+    entry embeds the Pallas matching kernel (tpu_custom_call)."""
+    cfg = tiny_test_config()
+    h, w = cfg.eval.image_size
+    o = cfg.model.max_objects + 1
+    model = MANet(cfg.model, matching_backend="pallas")
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)),
+        jnp.zeros((1, h // 4, w // 4, o)), jnp.zeros((1, h // 4, w // 4, o)))
+    exports = ex.export_serving_bundle(model, variables, (h, w),
+                                       cfg.model.max_objects,
+                                       platforms=("tpu",),
+                                       pad_to=cfg.eval.pad_to)
+    assert "tpu_custom_call" in exports["propagate"].mlir_module()
+    path = str(tmp_path / "tpu_bundle.ivosx")
+    ex.save_bundle(exports, path)
+    loaded = ex.load_bundle(path)
+    assert loaded.manifest["entries"]["propagate"]["platforms"] == ["tpu"]
+
+
 def test_bundle_rejects_artifact_file(model_and_vars, tmp_path):
     cfg, model, variables = model_and_vars
     exported = ex.export_forward(model, variables, cfg.eval.image_size,
