@@ -50,7 +50,7 @@ FORMAT = "ivosx/1"
 # --------------------------------------------------------------------- #
 
 def build_round_forward(model, variables, image_size: Tuple[int, int],
-                        num_objects: int, pad_to: int = 32):
+                        num_objects: int, pad_to: int = 16):
     """-> (fn, example_args): the single-frame interaction-round core.
 
     One interaction round on one frame: feature extraction, interaction
@@ -60,7 +60,10 @@ def build_round_forward(model, variables, image_size: Tuple[int, int],
     compile-checks, parameterized over spatial size and object bucket.
 
     fn(image (H, W, 3) f32, pos_scr (h, w, O) f32, neg_scr (h, w, O) f32)
-      -> per-pixel class probabilities (h, w, O) f32, h = H/4 (stride 4).
+      -> per-pixel class probabilities (h, w, O) f32, at feature
+      resolution of the PADDED image: h = (H + (-H) % pad_to) // 4
+      (the manifest records image_size/pad_to/feature_stride so hosts
+      can derive the scribble grid and crop outputs back to the image).
     """
     h, w = image_size
     hp, wp = h + (-h) % pad_to, w + (-w) % pad_to
@@ -68,8 +71,10 @@ def build_round_forward(model, variables, image_size: Tuple[int, int],
     o = num_objects + 1
 
     def fn(image, pos_scr, neg_scr):
-        pad = ((0, hp - h), (0, wp - w), (0, 0))
-        img = jnp.pad(image, pad)
+        # skip the no-op pad for aligned sizes (keeps the traced graph —
+        # and its persistent-cache key — free of a zero-width pad op)
+        img = image if (hp, wp) == (h, w) else jnp.pad(
+            image, ((0, hp - h), (0, wp - w), (0, 0)))
         feat, emb = model.apply(variables, img[None],
                                 method=model.extract_features)
         f0, e0 = feat[0], emb[0]
@@ -95,7 +100,7 @@ def build_round_forward(model, variables, image_size: Tuple[int, int],
 
 
 def build_serving_fns(model, variables, image_size: Tuple[int, int],
-                      num_objects: int, pad_to: int = 32
+                      num_objects: int, pad_to: int = 16
                       ) -> Dict[str, Tuple[Callable, tuple]]:
     """name -> (fn, example_args): the per-frame serving loop, staged.
 
@@ -126,7 +131,8 @@ def build_serving_fns(model, variables, image_size: Tuple[int, int],
         cfg.ma_channels
 
     def extract(image):
-        img = jnp.pad(image, ((0, hp - h), (0, wp - w), (0, 0)))
+        img = image if (hp, wp) == (h, w) else jnp.pad(
+            image, ((0, hp - h), (0, wp - w), (0, 0)))
         feat, emb = model.apply(variables, img[None],
                                 method=model.extract_features)
         return feat[0], emb[0]
@@ -177,7 +183,7 @@ def build_serving_fns(model, variables, image_size: Tuple[int, int],
 def export_forward(model, variables, image_size: Tuple[int, int],
                    num_objects: int, *,
                    platforms: Sequence[str] = ("tpu",),
-                   pad_to: int = 32):
+                   pad_to: int = 16):
     """Lower the round-forward for `platforms` -> jax.export.Exported."""
     from jax import export as jex
 
@@ -195,6 +201,19 @@ def _aval_json(avals) -> list:
     return [[list(a.shape), jnp.dtype(a.dtype).name] for a in avals]
 
 
+def _merge_extra(manifest: Dict[str, Any],
+                 extra: Optional[Dict[str, Any]]) -> None:
+    """Merge caller metadata, refusing to clobber reserved keys (a
+    clobbered 'format'/'entries'/... writes a file load_* cannot read)."""
+    if not extra:
+        return
+    clash = sorted(set(extra) & set(manifest))
+    if clash:
+        raise ValueError(f"extra manifest keys collide with reserved "
+                         f"keys: {clash}")
+    manifest.update(extra)
+
+
 def save_artifact(exported, path: str,
                   extra: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
     """Write the .ivosx artifact; returns the manifest dict."""
@@ -206,8 +225,7 @@ def save_artifact(exported, path: str,
         "in_avals": _aval_json(exported.in_avals),
         "out_avals": _aval_json(exported.out_avals),
     }
-    if extra:
-        manifest.update(extra)
+    _merge_extra(manifest, extra)
     # normalize (tuples -> lists) so the returned dict equals the loaded one
     manifest = json.loads(json.dumps(manifest, sort_keys=True))
     blob = exported.serialize()
@@ -266,7 +284,7 @@ BUNDLE_FORMAT = "ivosx-bundle/1"
 def export_serving_bundle(model, variables, image_size: Tuple[int, int],
                           num_objects: int, *,
                           platforms: Sequence[str] = ("tpu",),
-                          pad_to: int = 32):
+                          pad_to: int = 16):
     """Lower every serving-loop stage -> {name: jax.export.Exported}."""
     from jax import export as jex
 
@@ -295,8 +313,7 @@ def save_bundle(exports: Dict[str, Any], path: str,
             "out_avals": _aval_json(exports[n].out_avals),
         } for n in names},
     }
-    if extra:
-        manifest.update(extra)
+    _merge_extra(manifest, extra)
     manifest = json.loads(json.dumps(manifest, sort_keys=True))
     with open(path, "wb") as f:
         f.write(_BUNDLE_MAGIC)

@@ -64,20 +64,29 @@ class Davis:
 
     def sequence_metadata(self, sequence: str) -> Dict:
         """{'num_frames', 'num_scribbles', 'num_objects', 'image_size'} —
-        upstream reads these from its static table; we derive from disk
-        (annotations are decoded once, memoized)."""
+        upstream reads these from its static table; we derive from disk,
+        memoized. num_frames/num_scribbles come from directory listings;
+        num_objects scans the annotation PNGs one at a time (objects can
+        enter mid-video) without materializing the (T, H, W) stack."""
         if sequence not in self._meta:
-            ann = self.load_annotations(sequence)
+            d = self._sequence_dir(self.ANNOTATIONS_SUBDIR, sequence)
+            files = sorted(os.path.join(d, f) for f in os.listdir(d)
+                           if f.endswith(".png"))
+            num_objects, size = 0, None
+            for f in files:
+                ann = load_indexed_png(f)
+                num_objects = max(num_objects, int(ann.max()))
+                size = size or (int(ann.shape[1]), int(ann.shape[0]))
             scr_dir = os.path.join(self.davis_root, self.SCRIBBLES_SUBDIR,
                                    sequence)
             num_scribbles = len([f for f in os.listdir(scr_dir)
                                  if f.endswith(".json")]) \
                 if os.path.isdir(scr_dir) else 0
             self._meta[sequence] = {
-                "num_frames": int(ann.shape[0]),
+                "num_frames": len(files),
                 "num_scribbles": num_scribbles,
-                "num_objects": int(ann.max()),
-                "image_size": (int(ann.shape[2]), int(ann.shape[1])),
+                "num_objects": num_objects,
+                "image_size": size,
             }
         return dict(self._meta[sequence])
 

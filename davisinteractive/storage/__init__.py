@@ -58,7 +58,8 @@ class LocalStorage(AbstractStorage):
             raise ValueError("objects_idx, frames_idx, jaccard and contour "
                              "must all have the same length")
         for name, v in (("jaccard", jaccard), ("contour", contour)):
-            if v.size and (v.min() < 0.0 or v.max() > 1.0):
+            # NaN fails this check too (comparisons with NaN are False)
+            if v.size and not np.all((v >= 0.0) & (v <= 1.0)):
                 raise ValueError(f"{name} values must be in [0, 1]")
         key = (session_id, sequence, int(scribble_idx))
         prev = max((r[3] for r in self._rows

@@ -63,7 +63,8 @@ def main(argv=None):
 
     cfg = tiny_test_config() if args.tiny else Config()
     h, w = (cfg.eval.image_size if args.tiny else (args.height, args.width))
-    num_objects = args.objects or cfg.model.max_objects
+    num_objects = (args.objects if args.objects is not None
+                   else cfg.model.max_objects)
     o = cfg.model.max_objects + 1
     pad_to = cfg.eval.pad_to
 
@@ -78,7 +79,11 @@ def main(argv=None):
                          params=load_release(variables["params"], args.release))
 
     extra = {
-        "image_size": [h, w], "num_objects": num_objects,
+        # image_size + pad_to + feature_stride define the artifact's
+        # spatial contract: the scribble/probability grid is
+        # (H + (-H) % pad_to) // stride per side
+        "image_size": [h, w], "pad_to": pad_to, "feature_stride": 4,
+        "num_objects": num_objects,
         "matching_backend": args.matching_backend,
         "release": args.release or "",
     }

@@ -285,6 +285,9 @@ def test_local_storage_validates():
     with pytest.raises(ValueError, match="out of order"):
         st.store_interactions_results("u", "s", "q", 1, 2, 0.0,
                                       [1], [0], [0.5], [0.5])
+    with pytest.raises(ValueError, match="jaccard"):   # NaN fails loudly
+        st.store_interactions_results("u", "s", "q", 1, 1, 0.0,
+                                      [1], [0], [float("nan")], [0.5])
 
 
 def test_logging_shim(caplog):

@@ -63,6 +63,32 @@ def test_manifest_fields(model_and_vars, tmp_path):
     assert manifest["out_avals"][0] == [[h // 4, w // 4, o], "float32"]
 
 
+def test_extra_cannot_clobber_reserved_keys(model_and_vars, tmp_path):
+    cfg, model, variables = model_and_vars
+    exported = ex.export_forward(model, variables, cfg.eval.image_size,
+                                 cfg.model.max_objects,
+                                 platforms=("cpu",), pad_to=cfg.eval.pad_to)
+    with pytest.raises(ValueError, match="reserved"):
+        ex.save_artifact(exported, str(tmp_path / "m.ivosx"),
+                         extra={"format": "evil"})
+    exports = {"extract": exported}
+    with pytest.raises(ValueError, match="reserved"):
+        ex.save_bundle(exports, str(tmp_path / "b.ivosx"),
+                       extra={"entries": {}})
+
+
+def test_nonaligned_size_pads_to_pad_to(model_and_vars):
+    """Spatial contract: grid = (H + (-H) % pad_to) // 4 per side."""
+    cfg, model, variables = model_and_vars
+    fn, example_args = ex.build_round_forward(
+        model, variables, (30, 50), cfg.model.max_objects,
+        pad_to=cfg.eval.pad_to)
+    assert example_args[0].shape == (30, 50, 3)
+    assert example_args[1].shape == (8, 16, cfg.model.max_objects + 1)
+    out = jax.jit(fn)(*example_args)
+    assert out.shape == (8, 16, cfg.model.max_objects + 1)
+
+
 def test_load_rejects_bad_magic(tmp_path):
     path = str(tmp_path / "bad.ivosx")
     with open(path, "wb") as f:
