@@ -180,15 +180,38 @@ def build_serving_fns(model, variables, image_size: Tuple[int, int],
 # export / save / load
 # --------------------------------------------------------------------- #
 
+def wrap_raw_image(fn, example_args):
+    """Image arg becomes RAW uint8 RGB; ImageNet normalization moves
+    INSIDE the exported graph (the serving contract should not require
+    the host to know the training-time transform, and uint8 frames are
+    4x fewer upload bytes — same device-side preprocessing as
+    engine/propagate_batch.preprocess_frames)."""
+    from cvpr2020_manet_tpu.data.davis import IMAGENET_MEAN, IMAGENET_STD
+
+    def wrapped(image, *rest):
+        x = image.astype(jnp.float32) / 255.0
+        x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+        return fn(x, *rest)
+
+    return wrapped, (jnp.zeros(example_args[0].shape, jnp.uint8),
+                     *example_args[1:])
+
+
 def export_forward(model, variables, image_size: Tuple[int, int],
                    num_objects: int, *,
                    platforms: Sequence[str] = ("tpu",),
-                   pad_to: int = 16):
-    """Lower the round-forward for `platforms` -> jax.export.Exported."""
+                   pad_to: int = 16, raw_image: bool = True):
+    """Lower the round-forward for `platforms` -> jax.export.Exported.
+
+    raw_image=True (default): the artifact takes uint8 RGB frames and
+    normalizes device-side; False keeps the normalized-float32 contract
+    (the graph `__graft_entry__.entry()` compile-checks)."""
     from jax import export as jex
 
     fn, example_args = build_round_forward(
         model, variables, image_size, num_objects, pad_to=pad_to)
+    if raw_image:
+        fn, example_args = wrap_raw_image(fn, example_args)
     checks = []
     if "tpu" in platforms:
         # Pallas matching kernels are tpu_custom_call custom calls.
@@ -284,8 +307,11 @@ BUNDLE_FORMAT = "ivosx-bundle/1"
 def export_serving_bundle(model, variables, image_size: Tuple[int, int],
                           num_objects: int, *,
                           platforms: Sequence[str] = ("tpu",),
-                          pad_to: int = 16):
-    """Lower every serving-loop stage -> {name: jax.export.Exported}."""
+                          pad_to: int = 16, raw_image: bool = True):
+    """Lower every serving-loop stage -> {name: jax.export.Exported}.
+
+    raw_image=True: the `extract` entry takes uint8 RGB frames and
+    normalizes device-side (see wrap_raw_image)."""
     from jax import export as jex
 
     checks = []
@@ -293,6 +319,8 @@ def export_serving_bundle(model, variables, image_size: Tuple[int, int],
         checks.append(jex.DisabledSafetyCheck.custom_call("tpu_custom_call"))
     fns = build_serving_fns(model, variables, image_size, num_objects,
                             pad_to=pad_to)
+    if raw_image:
+        fns = dict(fns, extract=wrap_raw_image(*fns["extract"]))
     return {name: jex.export(jax.jit(fn), platforms=tuple(platforms),
                              disabled_checks=checks)(*args)
             for name, (fn, args) in fns.items()}

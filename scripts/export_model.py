@@ -23,6 +23,14 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _rand_like(rng, a):
+    """Random check input matching an example arg's shape/dtype."""
+    import jax.numpy as jnp
+    if np.issubdtype(np.dtype(a.dtype), np.integer):
+        return jnp.asarray(rng.integers(0, 256, a.shape), a.dtype)
+    return jnp.asarray(rng.standard_normal(a.shape), a.dtype)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--out", required=True)
@@ -41,6 +49,9 @@ def main(argv=None):
                    help="write a serving BUNDLE (extract/interact/"
                         "aggregate/propagate graphs) instead of the "
                         "single fused round artifact")
+    p.add_argument("--float_image", action="store_true",
+                   help="image input stays normalized float32 (default: "
+                        "raw uint8 RGB, normalization inside the graph)")
     p.add_argument("--check", action="store_true",
                    help="load the artifact back and compare vs direct apply")
     args = p.parse_args(argv)
@@ -78,11 +89,13 @@ def main(argv=None):
         variables = dict(variables,
                          params=load_release(variables["params"], args.release))
 
+    raw = not args.float_image
     extra = {
         # image_size + pad_to + feature_stride define the artifact's
         # spatial contract: the scribble/probability grid is
         # (H + (-H) % pad_to) // stride per side
         "image_size": [h, w], "pad_to": pad_to, "feature_stride": 4,
+        "image_input": "uint8_rgb" if raw else "normalized_float32",
         "num_objects": num_objects,
         "matching_backend": args.matching_backend,
         "release": args.release or "",
@@ -90,11 +103,12 @@ def main(argv=None):
     if args.bundle:
         exports = ex.export_serving_bundle(model, variables, (h, w),
                                            num_objects, platforms=platforms,
-                                           pad_to=pad_to)
+                                           pad_to=pad_to, raw_image=raw)
         manifest = ex.save_bundle(exports, args.out, extra=extra)
     else:
         exported = ex.export_forward(model, variables, (h, w), num_objects,
-                                     platforms=platforms, pad_to=pad_to)
+                                     platforms=platforms, pad_to=pad_to,
+                                     raw_image=raw)
         manifest = ex.save_artifact(exported, args.out, extra=extra)
     print(json.dumps(manifest, sort_keys=True))
 
@@ -102,11 +116,12 @@ def main(argv=None):
         bundle = ex.load_bundle(args.out)
         fns = ex.build_serving_fns(model, variables, (h, w), num_objects,
                                    pad_to=pad_to)
+        if raw:
+            fns = dict(fns, extract=ex.wrap_raw_image(*fns["extract"]))
         rng = np.random.default_rng(0)
         for name in bundle.names:
             fn, example_args = fns[name]
-            argv_ = [jnp.asarray(rng.standard_normal(a.shape), a.dtype)
-                     for a in example_args]
+            argv_ = [_rand_like(rng, a) for a in example_args]
             got = jax.tree.map(np.asarray, bundle[name](*argv_))
             want = jax.tree.map(np.asarray, jax.jit(fn)(*argv_))
             jax.tree.map(lambda g, w_: np.testing.assert_allclose(
@@ -117,9 +132,10 @@ def main(argv=None):
         loaded = ex.load_artifact(args.out)
         fn, example_args = ex.build_round_forward(
             model, variables, (h, w), num_objects, pad_to=pad_to)
+        if raw:
+            fn, example_args = ex.wrap_raw_image(fn, example_args)
         rng = np.random.default_rng(0)
-        argv_ = [jnp.asarray(rng.standard_normal(a.shape), a.dtype)
-                 for a in example_args]
+        argv_ = [_rand_like(rng, a) for a in example_args]
         got = np.asarray(loaded(*argv_))
         want = np.asarray(jax.jit(fn)(*argv_))
         np.testing.assert_allclose(got, want, atol=1e-5)

@@ -29,7 +29,8 @@ def test_roundtrip_matches_direct_apply(model_and_vars, tmp_path):
     size = cfg.eval.image_size
     exported = ex.export_forward(model, variables, size,
                                  cfg.model.max_objects,
-                                 platforms=("cpu",), pad_to=cfg.eval.pad_to)
+                                 platforms=("cpu",), pad_to=cfg.eval.pad_to,
+                                 raw_image=False)
     path = str(tmp_path / "m.ivosx")
     manifest = ex.save_artifact(exported, path, extra={"image_size": size})
     loaded = ex.load_artifact(path)
@@ -51,7 +52,8 @@ def test_manifest_fields(model_and_vars, tmp_path):
     cfg, model, variables = model_and_vars
     exported = ex.export_forward(model, variables, cfg.eval.image_size,
                                  cfg.model.max_objects,
-                                 platforms=("cpu",), pad_to=cfg.eval.pad_to)
+                                 platforms=("cpu",), pad_to=cfg.eval.pad_to,
+                                 raw_image=False)
     path = str(tmp_path / "m.ivosx")
     manifest = ex.save_artifact(exported, path)
     assert manifest["format"] == ex.FORMAT
@@ -87,6 +89,40 @@ def test_nonaligned_size_pads_to_pad_to(model_and_vars):
     assert example_args[1].shape == (8, 16, cfg.model.max_objects + 1)
     out = jax.jit(fn)(*example_args)
     assert out.shape == (8, 16, cfg.model.max_objects + 1)
+
+
+def test_raw_image_artifact_matches_normalized_float(model_and_vars,
+                                                     tmp_path):
+    """Default (raw uint8) artifact == float artifact fed the normalized
+    version of the same frame — the normalize transform lives INSIDE."""
+    from cvpr2020_manet_tpu.data.davis import normalize_image
+
+    cfg, model, variables = model_and_vars
+    size = cfg.eval.image_size
+    o = cfg.model.max_objects + 1
+    exported = ex.export_forward(model, variables, size,
+                                 cfg.model.max_objects,
+                                 platforms=("cpu",), pad_to=cfg.eval.pad_to)
+    h, w = size
+    assert exported.in_avals[0].dtype == jnp.uint8
+    path = str(tmp_path / "raw.ivosx")
+    ex.save_artifact(exported, path)
+    loaded = ex.load_artifact(path)
+
+    rng = np.random.default_rng(5)
+    img_u8 = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    pos = np.zeros((h // 4, w // 4, o), np.float32)
+    pos[1:3, 1:3, 1] = 1.0
+    neg = np.zeros_like(pos)
+    got = np.asarray(loaded(img_u8, pos, neg))
+
+    fn, _ = ex.build_round_forward(model, variables, size,
+                                   cfg.model.max_objects,
+                                   pad_to=cfg.eval.pad_to)
+    want = np.asarray(jax.jit(fn)(
+        jnp.asarray(normalize_image(img_u8.astype(np.float32) / 255.0)),
+        pos, neg))
+    np.testing.assert_allclose(got, want, atol=1e-5)
 
 
 def test_load_rejects_bad_magic(tmp_path):
@@ -176,13 +212,15 @@ def test_serving_bundle_roundtrip_and_loop(model_and_vars, tmp_path):
                             "extract", "interact", "propagate"]
     assert bundle.manifest == manifest
 
+    # default contract: extract takes RAW uint8 RGB (normalize inside)
     fns = ex.build_serving_fns(model, variables, size,
                                cfg.model.max_objects, pad_to=cfg.eval.pad_to)
+    fns = dict(fns, extract=ex.wrap_raw_image(*fns["extract"]))
     rng = np.random.default_rng(3)
     h, w = size
     hh, ww = h // 4, w // 4
-    img0 = jnp.asarray(rng.standard_normal((h, w, 3)), jnp.float32)
-    img1 = jnp.asarray(rng.standard_normal((h, w, 3)), jnp.float32)
+    img0 = jnp.asarray(rng.integers(0, 256, (h, w, 3)), jnp.uint8)
+    img1 = jnp.asarray(rng.integers(0, 256, (h, w, 3)), jnp.uint8)
     pos = jnp.zeros((hh, ww, o)).at[2:4, 2:4, 1].set(1.0)
     neg = jnp.zeros((hh, ww, o))
     bg = jnp.zeros((hh, ww, o)).at[..., 0].set(1.0)
