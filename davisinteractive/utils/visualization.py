@@ -13,7 +13,27 @@ import numpy as np
 from cvpr2020_manet_tpu.interactive.scribbles import Scribbles
 from cvpr2020_manet_tpu.utils.colormap import davis_palette
 
-__all__ = ["plot_scribble"]
+__all__ = ["plot_scribble", "draw_scribble"]
+
+
+def draw_scribble(img: np.ndarray, scribble, frame: int,
+                  output_size: Optional[Tuple[int, int]] = None,
+                  width: int = 3) -> np.ndarray:
+    """Image-space counterpart of `plot_scribble` (upstream convention:
+    draw one frame's strokes directly onto an RGB image array).
+
+    `output_size=(H, W)` resizes the canvas first; `width` is the stroke
+    thickness in pixels. Returns a new uint8 array."""
+    from cvpr2020_manet_tpu.utils.visualize import draw_scribbles
+
+    img = np.asarray(img)
+    if output_size is not None and tuple(img.shape[:2]) != tuple(output_size):
+        from PIL import Image
+        h, w = output_size
+        img = np.asarray(Image.fromarray(img.astype(np.uint8)).resize(
+            (w, h), Image.BILINEAR))
+    return draw_scribbles(img.astype(np.uint8), scribble, frame,
+                          radius=max(0, (int(width) - 1) // 2))
 
 
 def plot_scribble(ax, scribble, frame: int,

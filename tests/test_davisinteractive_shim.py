@@ -301,3 +301,18 @@ def test_logging_shim(caplog):
         dlog.warning("careful")
     msgs = [r.getMessage() for r in caplog.records]
     assert "hello world" in msgs and "careful" in msgs
+
+
+def test_draw_scribble_image_space():
+    from davisinteractive.utils.visualization import draw_scribble
+
+    payload = _payload(frames=2)
+    img = np.zeros((40, 60, 3), np.uint8)
+    out = draw_scribble(img, payload, 0, width=3)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert (out != 0).any()                      # strokes drawn
+    assert (img == 0).all()                      # input untouched
+    out2 = draw_scribble(img, payload, 0, output_size=(80, 120))
+    assert out2.shape == (80, 120, 3)
+    empty = draw_scribble(img, payload, 1)       # frame without strokes
+    assert (empty == 0).all()
