@@ -316,3 +316,20 @@ def test_draw_scribble_image_space():
     assert out2.shape == (80, 120, 3)
     empty = draw_scribble(img, payload, 1)       # frame without strokes
     assert (empty == 0).all()
+
+
+def test_reference_style_eval_script(tmp_path, capsys):
+    """The migrated reference eval script (scripts/reference_style_eval.py)
+    runs the upstream loop end-to-end against the real Evaluator."""
+    import json
+
+    from scripts.reference_style_eval import main
+
+    report = str(tmp_path / "report.csv")
+    main(["--synthetic", "--rounds", "2", "--report", report])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out) == {"auc", "jf_at_60s", "rows"}
+    assert out["rows"] > 0
+    import pandas as pd
+    df = pd.read_csv(report)
+    assert len(df) == out["rows"]
