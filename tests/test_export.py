@@ -297,3 +297,39 @@ def test_cli_export_and_check(tmp_path, capsys):
     manifest = json.loads(lines[0])
     assert manifest["format"] == ex.FORMAT
     assert "matches direct apply" in lines[-1]
+
+
+def test_sharded_cp_matching_exports_and_roundtrips(tmp_path):
+    """Multi-chip serving artifacts: the context-parallel matching graph
+    (shard_map + all-gather-min collectives) serializes via jax.export
+    and reloads onto a same-size mesh, bit-identical to the single-device
+    oracle. A serving fleet can ship the SHARDED graph, not just
+    single-chip ones."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cvpr2020_manet_tpu.ops.matching import global_matching
+    from cvpr2020_manet_tpu.parallel.cp_matching import cp_match_flat
+    from cvpr2020_manet_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(data=1, context=8)
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((64, 16)).astype(np.float32)
+    k = rng.standard_normal((128, 16)).astype(np.float32)
+    oh = rng.integers(0, 2, (128, 3)).astype(np.float32)
+
+    def fn(q, k, oh):
+        return cp_match_flat(q, k, oh, mesh, "jnp")
+
+    from jax import export as jex
+    exported = jex.export(jax.jit(fn))(q, k, oh)
+    assert exported.nr_devices == 8
+    path = str(tmp_path / "cp.ivosx")
+    ex.save_artifact(exported, path, extra={"mesh": {"data": 1,
+                                                     "context": 8}})
+    loaded = ex.load_artifact(path)
+    rep = NamedSharding(mesh, P())
+    args = [jax.device_put(a, rep) for a in (q, k, oh)]
+    got = np.asarray(jax.jit(loaded.call)(*args))
+    want = np.asarray(jax.jit(
+        lambda: global_matching(q, k, oh, None))())
+    np.testing.assert_array_equal(got, want)
