@@ -90,6 +90,30 @@ def mask_bits_for_labels(num_labels: int) -> int:
     return 8
 
 
+def aligned_mask_bits(num_labels: int, w_pad: int) -> int:
+    """mask_bits_for_labels widened until the packed W axis is
+    whole-byte aligned (the strided pack slices need
+    W % (8/bits) == 0; e.g. width 848 at mask_stride 4 cannot take the
+    1-bit code). Shared by the evaluator round and StreamingIVOS."""
+    bits = mask_bits_for_labels(num_labels)
+    while w_pad % (8 // bits):
+        bits *= 2
+    return bits
+
+
+def object_bucket_for(num_objects: int | None, o_max: int) -> int:
+    """Padded object-axis size for a sequence. Small buckets save
+    ~linear head/matching time (most DAVIS sequences have <= 3 objects);
+    one compilation is cached per bucket. Shared by Evaluator and
+    StreamingIVOS so their compile caches and shapes cannot drift."""
+    if num_objects is None:
+        return o_max
+    for b in sorted({min(4, o_max), o_max}):
+        if num_objects + 1 <= b:
+            return b
+    return o_max
+
+
 def live_page_bucket(rounds: int, capacity: int) -> int:
     """Pages of stacked matching memory to actually match: the filled
     count rounded up to a power of 2, capped at capacity — one cached
@@ -549,15 +573,7 @@ class Evaluator:
     # ---------------- host orchestration ------------------------------- #
 
     def object_bucket(self, num_objects: int | None) -> int:
-        """Padded object-axis size for a sequence. Small buckets save
-        ~linear head/matching time (most DAVIS sequences have <= 3
-        objects); one compilation is cached per bucket."""
-        if num_objects is None:
-            return self.o
-        for b in sorted({min(4, self.o), self.o}):
-            if num_objects + 1 <= b:
-                return b
-        return self.o
+        return object_bucket_for(num_objects, self.o)
 
     def frame_bucket(self, num_frames: int) -> int:
         """Padded frame-axis size for a sequence: the smallest enabled
@@ -666,9 +682,7 @@ class Evaluator:
         # Widen until the packed W axis is whole-byte aligned (the strided
         # pack slices need W % (8/bits) == 0; e.g. width 848 at
         # mask_stride 4 cannot take the 1-bit code).
-        pk = mask_bits_for_labels(num_objects + 1)
-        while w_pad % (8 // pk):
-            pk *= 2
+        pk = aligned_mask_bits(num_objects + 1, w_pad)
         if cfg.eval.round_segments > 1:
             masks = self._run_round_segmented(
                 state, args, kw, annot, frame_valid, (h_pad, w_pad), pk,

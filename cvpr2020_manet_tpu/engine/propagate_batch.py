@@ -52,7 +52,11 @@ class BatchPropagator:
         self.variables = variables
         self.o = cfg.model.max_objects + 1
         self._extract = jax.jit(self._extract_impl)
-        self._one_seq = jax.jit(self._one_seq_impl)
+        # o static: sequences run in their own object bucket (one cached
+        # compile per bucket — the evaluator's object_bucket policy);
+        # a 1-2 object clip pays ~half the head/matching FLOPs of the
+        # full max_objects bucket
+        self._one_seq = jax.jit(self._one_seq_impl, static_argnames=("o",))
         from cvpr2020_manet_tpu.engine.evaluator import _FETCH_POOL
         self._fetch_pool = _FETCH_POOL
 
@@ -61,11 +65,11 @@ class BatchPropagator:
         return self.model.apply(self.variables, preprocess_frames(frames_u8),
                                 method=self.model.extract_features)
 
-    def _one_seq_impl(self, feat_s, emb_s, first_mask, ov):
+    def _one_seq_impl(self, feat_s, emb_s, first_mask, ov, *, o):
         """One sequence: (T, hh, ww, *) features/embeddings + first-frame
-        labels -> bit-packed argmax label maps (T, H, W * bits / 8)."""
+        labels -> bit-packed argmax label maps (T, H, W * bits / 8).
+        `o` is the sequence's padded object bucket (static)."""
         model, variables = self.model, self.variables
-        o = self.o
         t, hh, ww, _ = feat_s.shape
         s = self.cfg.model.feature_stride
         h_img, w_img = hh * s, ww * s
@@ -115,7 +119,7 @@ class BatchPropagator:
         from cvpr2020_manet_tpu.engine.evaluator import (
             Evaluator, pack_labels)
         bits = Evaluator._mask_bits(o)
-        return pack_labels(lab, bits)
+        return pack_labels(lab, bits)  # bits follows the bucket `o`
 
     # -- pipeline pieces (upload / dispatch / drain) --------------------- #
     #
@@ -130,10 +134,13 @@ class BatchPropagator:
         on the sandbox link). Returns per-chunk (feat, emb) futures."""
         bt, h_img, w_img, _ = frames_u8.shape
         flat = frames_u8.reshape(bt, h_img, w_img, 3)
-        chunk = 8 if bt % 8 == 0 else bt
+        # full 8-frame chunks + at most one remainder chunk: the encoder
+        # compile and its peak activation memory stay bounded for EVERY
+        # (B, T) product (a non-dividing bt used to fall back to one
+        # bt-sized chunk — fresh compile per shape, batch-scaled memory)
         outs = []
-        for i in range(0, bt, chunk):
-            dev = jax.device_put(flat[i:i + chunk])
+        for i in range(0, bt, 8):
+            dev = jax.device_put(flat[i:i + 8])
             outs.append(self._extract(dev))   # async dispatch; next
             # iteration's device_put overlaps this chunk's encode
         return outs
@@ -141,38 +148,45 @@ class BatchPropagator:
     def dispatch(self, extracted: list, first_masks: np.ndarray,
                  num_objects: np.ndarray, batch_shape: tuple):
         """Per-sequence propagation dispatches + concurrent mask fetches.
-        Returns (fetch futures, bits)."""
-        from cvpr2020_manet_tpu.engine.evaluator import Evaluator
+        Returns (fetch futures, per-sequence bits list)."""
+        from cvpr2020_manet_tpu.engine.evaluator import (
+            Evaluator, object_bucket_for)
         b, t = batch_shape
-        bits = Evaluator._mask_bits(self.o)
+        n_obj = [int(n) for n in np.asarray(num_objects)]
+        buckets = [object_bucket_for(n, self.o) for n in n_obj]
+        bits_list = [Evaluator._mask_bits(ob) for ob in buckets]
         # validate BEFORE issuing device work (and for direct pipeline
         # callers, who previously hit an opaque pack_labels trace error):
         # packed masks need the upsampled width divisible by 8/bits
         w_img = extracted[0][0].shape[2] * self.cfg.model.feature_stride
-        assert w_img % (8 // bits) == 0, \
-            f"width {w_img} must be a multiple of {8 // bits} (pad_to)"
-        obj_valid = np.zeros((b, self.o), np.float32)
-        for i, n in enumerate(np.asarray(num_objects)):
-            obj_valid[i, :int(n) + 1] = 1.0
+        for bits in set(bits_list):
+            assert w_img % (8 // bits) == 0, \
+                f"width {w_img} must be a multiple of {8 // bits} (pad_to)"
         feat = jnp.concatenate([f for f, _ in extracted], axis=0)
         emb = jnp.concatenate([e for _, e in extracted], axis=0)
         hh, ww = feat.shape[1:3]
         feat = feat.reshape(b, t, hh, ww, -1)
         emb = emb.reshape(b, t, hh, ww, -1)
         fm = jnp.asarray(first_masks)
-        ov = jnp.asarray(obj_valid)
-        # dispatch every sequence (async), then drain downloads in order:
-        # sequence i's packed masks cross the link while i+1.. compute
+        # dispatch every sequence (async) in ITS OWN object bucket, then
+        # drain downloads in order: sequence i's packed masks cross the
+        # link while i+1.. compute
         fetches = []
         for i in range(b):
-            packed = self._one_seq(feat[i], emb[i], fm[i], ov[i])
+            ob = buckets[i]
+            ov_i = np.zeros((ob,), np.float32)
+            ov_i[:n_obj[i] + 1] = 1.0
+            packed = self._one_seq(feat[i], emb[i], fm[i],
+                                   jnp.asarray(ov_i), o=ob)
             fetches.append(self._fetch_pool.submit(np.asarray, packed))
-        return fetches, bits
+        return fetches, bits_list
 
     @staticmethod
     def drain(fetches, bits) -> np.ndarray:
         from cvpr2020_manet_tpu.engine.evaluator import unpack_labels
-        labs = [unpack_labels(f.result(), bits) for f in fetches]
+        if isinstance(bits, int):
+            bits = [bits] * len(fetches)
+        labs = [unpack_labels(f.result(), b) for f, b in zip(fetches, bits)]
         return np.stack(labs).astype(np.int32)
 
     def propagate(self, frames_u8: np.ndarray, first_masks: np.ndarray,
@@ -204,7 +218,10 @@ def _load_batches(ds, batch: int, frames: int, image_hw, stride: int):
     from cvpr2020_manet_tpu.data.davis import IMAGENET_MEAN, IMAGENET_STD
     h_img, w_img = image_hw
     names = ds.sequences()
-    for i in range(0, len(names) - len(names) % batch, batch):
+    # the tail yields a smaller final batch rather than dropping
+    # sequences: propagation dispatches per-sequence, so a short batch
+    # costs no new compilation
+    for i in range(0, len(names), batch):
         fr, fm, no = [], [], []
         for seq in names[i:i + batch]:
             imgs = ds.images(seq)      # normalized float (T, H, W, 3)
@@ -283,7 +300,10 @@ def main(argv=None):
     prop = BatchPropagator(cfg, model, variables)
 
     gen = _load_batches(ds, args.batch, args.frames, (h_img, w_img), s)
-    first = next(gen)
+    first = next(gen, None)
+    if first is None:
+        raise SystemExit(f"dataset has no sequences "
+                         f"({args.dataset}, root={args.data_root})")
     timed = []
     for fr, fm, no in gen:
         timed.append((fr, fm, no))

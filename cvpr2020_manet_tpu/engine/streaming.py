@@ -60,7 +60,13 @@ class StreamingIVOS:
         h, w = cfg.eval.image_size
         self.hp = h + (-h) % cfg.eval.pad_to
         self.wp = w + (-w) % cfg.eval.pad_to
-        self.hh, self.ww = self.hp // 4, self.wp // 4
+        # state grids live at the decoder's output stride; the scribble
+        # downsample in correct() uses feature_stride — they must agree
+        assert self.stride == 4, (
+            f"feature_stride={self.stride}: the DeepLabV3+ decoder is "
+            "architecturally stride-4 (SURVEY.md §3.2); state grids and "
+            "scribble rasters would disagree")
+        self.hh, self.ww = self.hp // self.stride, self.wp // self.stride
         self.capacity = cfg.eval.max_interactions
         backend = model.matching_backend
         if backend == "auto":
@@ -88,19 +94,22 @@ class StreamingIVOS:
     # ------------------------------------------------------------------ #
 
     def reset(self, num_objects: int) -> None:
+        if not 0 < num_objects <= self.cfg.model.max_objects:
+            # silently accepting an over-budget stream would DROP the
+            # extra objects' scribbles from the positive channels while
+            # still counting them as negatives — actively wrong memory
+            raise ValueError(
+                f"num_objects={num_objects} outside 1..="
+                f"{self.cfg.model.max_objects} (ModelConfig.max_objects)")
         hh, ww = self.hh, self.ww
-        # object bucket: small sequences get small graphs (cost ~linear in O)
-        o = 4 if num_objects + 1 <= 4 <= self.o else self.o
+        # object bucket + mask bit depth: the evaluator's exact policies
+        # (shared helpers — the compile caches and pack widths of the two
+        # engines must not drift)
+        from cvpr2020_manet_tpu.engine.evaluator import (
+            aligned_mask_bits, object_bucket_for)
+        o = object_bucket_for(num_objects, self.o)
         self._o_bucket = o
-        # densest lossless mask code for the LIVE label count (evaluator
-        # semantics: 1 bit/px for a 1-object stream — half the transfer of
-        # the bucket code), widened until the packed W axis is whole-byte
-        # aligned
-        from cvpr2020_manet_tpu.engine.evaluator import mask_bits_for_labels
-        bits = mask_bits_for_labels(num_objects + 1)
-        while self.wp % (8 // bits):
-            bits *= 2
-        self._bits = bits
+        self._bits = aligned_mask_bits(num_objects + 1, self.wp)
         m = self.capacity * hh * ww
         obj_valid = np.zeros((o,), np.float32)
         obj_valid[:num_objects + 1] = 1.0
@@ -116,7 +125,6 @@ class StreamingIVOS:
             prev_probs=jnp.zeros((hh, ww, o), jnp.float32).at[..., 0].set(1.0),
             cur_feat=None, cur_emb=None, cur_probs=None,
             obj_valid=jnp.asarray(obj_valid),
-            frame_idx=0,
             # decomposed head stage 1 (models/manet.py): the MA memory's
             # conv0 contribution changes only on correct(); conv0 of the
             # zero-initialized memory is exactly zero (no bias)
@@ -247,7 +255,6 @@ class StreamingIVOS:
             bits=self._bits)
         st["prev_emb"], st["prev_probs"] = e_t, probs
         st["cur_feat"], st["cur_emb"], st["cur_probs"] = f_t, e_t, probs
-        st["frame_idx"] += 1
         return self._fetch_pool.submit(self._unpack, mask, self._bits)
 
     def observe(self, image: np.ndarray) -> np.ndarray:

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 import urllib.request
 import uuid
 import zlib
@@ -56,6 +57,19 @@ class UnknownSession(KeyError):
     pass
 
 
+class BodyTooLarge(ValueError):
+    pass
+
+
+# Request-body hard cap. Masks ride zlib-compressed (a 100-frame 1080p
+# uint8 label volume is ~200 MB raw but compresses ~50x); anything past
+# this is either misuse or a decompression-bomb attempt.
+MAX_BODY_BYTES = 64 << 20
+# Hard cap on DECOMPRESSED mask bytes (~100 frames x 4K), enforced with
+# a bounded decompress so a zlib bomb cannot materialize gigabytes.
+MAX_MASK_BYTES = 1 << 30
+
+
 class EvaluationService:
     """Server-side registry: one `InteractiveSession` per session id.
 
@@ -68,12 +82,25 @@ class EvaluationService:
         self.dataset = dataset
         self.robot = robot
         self.max_sessions = max_sessions
-        # insertion-ordered -> oldest-first eviction
         self._sessions: Dict[str, InteractiveSession] = {}
         self._locks: Dict[str, threading.Lock] = {}
+        self._last_use: Dict[str, float] = {}
         self._registry_lock = threading.Lock()
         self._info_lock = threading.Lock()
         self._info: Optional[Dict[str, Any]] = None
+
+    def _evict_one_locked(self) -> None:
+        """Drop one session to make room. FINISHED sessions go first
+        (their reports were retrievable since the protocol loop closed);
+        among live ones, evict the least-recently-used that is not
+        mid-request (lock held) — evicting an actively-served session
+        would 404 its client mid-protocol."""
+        by_age = sorted(self._sessions, key=lambda s: self._last_use[s])
+        pick = next((s for s in by_age if self._sessions[s].finished), None)
+        if pick is None:
+            pick = next((s for s in by_age
+                         if not self._locks[s].locked()), by_age[0])
+        del self._sessions[pick], self._locks[pick], self._last_use[pick]
 
     def start_session(self, *, max_nb_interactions: int = 8,
                       max_time: Optional[float] = None,
@@ -85,22 +112,24 @@ class EvaluationService:
         sid = uuid.uuid4().hex[:12]
         with self._registry_lock:
             while len(self._sessions) >= self.max_sessions:
-                oldest = next(iter(self._sessions))
-                del self._sessions[oldest], self._locks[oldest]
+                self._evict_one_locked()
             self._sessions[sid] = sess
             self._locks[sid] = threading.Lock()
+            self._last_use[sid] = time.monotonic()
         return sid
 
     def get(self, sid: str) -> Tuple[InteractiveSession, threading.Lock]:
         with self._registry_lock:
             if sid not in self._sessions:
                 raise UnknownSession(sid)
+            self._last_use[sid] = time.monotonic()
             return self._sessions[sid], self._locks[sid]
 
     def close_session(self, sid: str) -> None:
         with self._registry_lock:
             self._sessions.pop(sid, None)
             self._locks.pop(sid, None)
+            self._last_use.pop(sid, None)
 
     def dataset_info(self) -> Dict[str, Any]:
         """Public (non-ground-truth) dataset metadata for clients.
@@ -149,6 +178,12 @@ def _make_handler(service: EvaluationService):
 
         def _body(self) -> bytes:
             n = int(self.headers.get("Content-Length", "0"))
+            if n > MAX_BODY_BYTES:
+                # cannot safely drain an oversized body on keep-alive;
+                # drop the connection after the error response
+                self.close_connection = True
+                raise BodyTooLarge(f"request body {n} B > "
+                                   f"{MAX_BODY_BYTES} B cap")
             return self.rfile.read(n) if n else b""
 
         # -- verbs --------------------------------------------------------
@@ -157,7 +192,10 @@ def _make_handler(service: EvaluationService):
             # ALWAYS drain the body first: on a keep-alive connection an
             # error response with unread body bytes would leave those
             # bytes to be parsed as the client's next request line
-            raw = self._body()
+            try:
+                raw = self._body()
+            except BodyTooLarge as e:
+                return self._error(413, str(e))
             try:
                 if parts == ["api", "session"]:
                     params = json.loads(raw) if raw else {}
@@ -180,9 +218,20 @@ def _make_handler(service: EvaluationService):
                         if x_shape is None:
                             return self._error(400, "missing X-Shape header")
                         shape = tuple(int(x) for x in x_shape.split(","))
+                        expected = int(np.prod(shape))
+                        if not 0 < expected <= MAX_MASK_BYTES:
+                            return self._error(
+                                400, f"X-Shape {shape} out of bounds")
+                        # bounded decompress: a zlib bomb stops at
+                        # expected+1 bytes instead of materializing GBs
+                        d = zlib.decompressobj()
+                        buf = d.decompress(raw, expected + 1)
+                        if len(buf) != expected or d.unconsumed_tail:
+                            return self._error(
+                                400, f"mask payload does not decompress "
+                                     f"to X-Shape {shape}")
                         masks = np.frombuffer(
-                            zlib.decompress(raw),
-                            dtype=np.uint8).reshape(shape)
+                            buf, dtype=np.uint8).reshape(shape)
                         with lock:
                             sess.submit_masks(masks)
                         return self._json({"ok": True})
@@ -194,7 +243,10 @@ def _make_handler(service: EvaluationService):
 
         def do_GET(self):
             _, parts, query = self._route()
-            self._body()  # drain: same keep-alive invariant as do_POST
+            try:
+                self._body()  # drain: same keep-alive invariant as do_POST
+            except BodyTooLarge as e:
+                return self._error(413, str(e))
             try:
                 if parts == ["api", "dataset"]:
                     return self._json(service.dataset_info())
@@ -235,7 +287,10 @@ def _make_handler(service: EvaluationService):
 
         def do_DELETE(self):
             _, parts, _ = self._route()
-            self._body()  # drain: same keep-alive invariant as do_POST
+            try:
+                self._body()  # drain: same keep-alive invariant as do_POST
+            except BodyTooLarge as e:
+                return self._error(413, str(e))
             if len(parts) == 3 and parts[:2] == ["api", "session"]:
                 service.close_session(parts[2])
                 return self._json({"ok": True})

@@ -94,6 +94,12 @@ class InteractiveSession:
     def current(self):
         return self._queue[self._pos]
 
+    @property
+    def finished(self) -> bool:
+        """True once next() has exhausted the work queue (the report
+        stays queryable; the session will never accept more masks)."""
+        return self._pos >= len(self._queue)
+
     def get_scribbles(self, only_last: bool = False):
         """-> (sequence, scribbles_json, first_scribble)."""
         seq, _ = self.current

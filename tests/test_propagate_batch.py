@@ -62,3 +62,73 @@ def test_propagate_cli_prints_metric(capsys):
     assert rec["metric"] == "batched_propagation_fps"
     assert rec["value"] > 0
     assert rec["batch"] == 2 and rec["frames"] == 4
+
+
+def test_load_batches_yields_tail_and_counts_all_sequences():
+    """The loader must not silently drop the tail when the sequence count
+    is not a multiple of --batch (and must never crash on small sets)."""
+    from cvpr2020_manet_tpu.engine.propagate_batch import _load_batches
+
+    cfg = tiny_test_config()
+    h, w = cfg.eval.image_size
+    ds = SyntheticDataset(image_size=(h, w), num_frames=3,
+                          num_sequences=5, num_objects=1)
+    batches = list(_load_batches(ds, batch=4, frames=3, image_hw=(h, w),
+                                 stride=cfg.model.feature_stride))
+    assert [b[0].shape[0] for b in batches] == [4, 1]
+    total = sum(b[0].shape[0] for b in batches)
+    assert total == 5
+    # batch larger than the dataset still yields everything at once
+    batches = list(_load_batches(ds, batch=64, frames=3, image_hw=(h, w),
+                                 stride=cfg.model.feature_stride))
+    assert [b[0].shape[0] for b in batches] == [5]
+
+
+def test_upload_chunks_bounded_for_non_multiple_of_8():
+    """bt % 8 != 0 must still chunk (full 8s + remainder), not fall back
+    to one bt-sized chunk (unbounded compile/memory)."""
+    cfg = tiny_test_config()
+    h, w = cfg.eval.image_size
+    o = cfg.model.max_objects + 1
+    model = MANet(cfg.model, matching_backend="jnp")
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)),
+        jnp.zeros((1, h // 4, w // 4, o)), jnp.zeros((1, h // 4, w // 4, o)))
+    prop = BatchPropagator(cfg, model, variables)
+    frames = np.zeros((10, h, w, 3), np.uint8)   # 10 = 8 + 2
+    outs = prop.upload(frames)
+    assert [f.shape[0] for f, _ in outs] == [8, 2]
+
+
+def test_mixed_object_buckets_in_one_batch():
+    """Sequences run in their own object bucket (small clips get small
+    graphs); a mixed batch still produces correct per-sequence labels."""
+    import dataclasses
+
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, max_objects=5))
+    h, w = cfg.eval.image_size
+    o = cfg.model.max_objects + 1
+    model = MANet(cfg.model, matching_backend="jnp")
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)),
+        jnp.zeros((1, h // 4, w // 4, o)), jnp.zeros((1, h // 4, w // 4, o)))
+    prop = BatchPropagator(cfg, model, variables)
+
+    b, t = 2, 3
+    frames = np.random.default_rng(0).integers(
+        0, 256, (b, t, h, w, 3)).astype(np.uint8)
+    fm = np.zeros((b, h // 4, w // 4), np.int32)
+    fm[0, 2:4, 2:4] = 1                      # 1 object  -> bucket 4
+    fm[1, 1:3, 1:3] = 2
+    fm[1, 4:6, 4:6] = 5                      # 5 objects -> bucket 6
+    labs = prop.propagate(frames, fm, np.array([1, 5]))
+    assert labs.shape == (b, t, h, w)
+    assert labs[0].max() <= 1                # bucket cannot leak labels
+    assert labs[1].max() <= 5
+    # seed frame reproduces the given first mask (bilinear upsample:
+    # check interior pixels, away from the soft region boundary)
+    assert (labs[0, 0, 10:14, 10:14] == 1).all()
+    assert (labs[0, 0, :4, :4] == 0).all()
+    assert (labs[1, 0, 18:22, 18:22] == 5).all()

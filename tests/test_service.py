@@ -204,3 +204,59 @@ def test_remote_errors_surface(server):
     bad.host, bad.timeout, bad.session_id = sess.host, 5.0, "deadbeef"
     with pytest.raises(RuntimeError, match="404"):
         bad.next()
+
+
+def test_eviction_prefers_finished_sessions():
+    """Registry eviction: a FINISHED session is evicted before a live one
+    (FIFO used to kill live clients mid-protocol)."""
+    from cvpr2020_manet_tpu.interactive.service import EvaluationService
+
+    ds = SyntheticDataset(num_sequences=1, scribble_sets=1, num_frames=3)
+    svc = EvaluationService(ds, max_sessions=2)
+    done = svc.start_session(max_nb_interactions=1)
+    sess, _ = svc.get(done)
+    while sess.next():
+        sess.submit_masks(ds.gt_masks(ds.sequences()[0]))
+    assert sess.finished
+    live = svc.start_session(max_nb_interactions=8)
+    svc.get(live)[0].next()                      # live session, mid-item
+    third = svc.start_session(max_nb_interactions=8)
+    # the finished session went; the live one survived
+    with pytest.raises(KeyError):
+        svc.get(done)
+    svc.get(live)
+    svc.get(third)
+
+
+def test_masks_endpoint_rejects_bomb_and_bad_shape(server):
+    """Bounded decompress: a payload that decompresses past X-Shape (a
+    zlib bomb) is rejected without materializing it; absurd X-Shape too."""
+    import json
+    import urllib.request
+    import zlib
+
+    srv, ds = server
+    port = srv.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+
+    def post(path, data=b"", headers=None):
+        req = urllib.request.Request(base + path, data=data,
+                                     headers=headers or {}, method="POST")
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    sid = post("/api/session")[1]["session_id"]
+    post(f"/api/session/{sid}/next")
+
+    # 1 MB of zeros decompressing far past the declared 3x4x4 shape
+    bomb = zlib.compress(b"\0" * (1 << 20), level=9)
+    code, body = post(f"/api/session/{sid}/masks", bomb,
+                      {"X-Shape": "3,4,4"})
+    assert code == 400 and "decompress" in body["error"]
+
+    code, body = post(f"/api/session/{sid}/masks", zlib.compress(b"\0"),
+                      {"X-Shape": "100000,10000,10000"})
+    assert code == 400 and "out of bounds" in body["error"]
