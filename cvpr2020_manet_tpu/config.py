@@ -53,6 +53,17 @@ class ModelConfig:
     # (ref:networks/IntVOS.py WRONG_LABEL_PADDING_DISTANCE, expected).
     wrong_label_padding_distance: float = 1e8
 
+    def __post_init__(self):
+        # The DeepLabV3+ decoder output is architecturally stride-4
+        # (SURVEY.md §3.2); every engine sizes its state grids at
+        # H/4 x W/4 while scribble downsampling reads this field — a
+        # different value would silently desynchronize them.
+        if self.feature_stride != 4:
+            raise ValueError(
+                f"feature_stride={self.feature_stride}: the decoder is "
+                "architecturally stride-4; this knob documents the "
+                "constant, it cannot retune the architecture")
+
 
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:

@@ -60,12 +60,8 @@ class StreamingIVOS:
         h, w = cfg.eval.image_size
         self.hp = h + (-h) % cfg.eval.pad_to
         self.wp = w + (-w) % cfg.eval.pad_to
-        # state grids live at the decoder's output stride; the scribble
-        # downsample in correct() uses feature_stride — they must agree
-        assert self.stride == 4, (
-            f"feature_stride={self.stride}: the DeepLabV3+ decoder is "
-            "architecturally stride-4 (SURVEY.md §3.2); state grids and "
-            "scribble rasters would disagree")
+        # state grids live at the decoder's output stride (== 4,
+        # validated by ModelConfig.__post_init__)
         self.hh, self.ww = self.hp // self.stride, self.wp // self.stride
         self.capacity = cfg.eval.max_interactions
         backend = model.matching_backend

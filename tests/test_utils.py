@@ -81,3 +81,13 @@ def test_metric_logger_stdout_and_tensorboard(tmp_path, capsys):
     if lg2._writer is not None:      # clu available in this environment
         files = list(d.rglob("*"))
         assert files, "writer created no event files"
+
+
+def test_model_config_rejects_non4_feature_stride():
+    import dataclasses
+
+    import pytest
+
+    from cvpr2020_manet_tpu.config import ModelConfig
+    with pytest.raises(ValueError, match="stride-4"):
+        dataclasses.replace(ModelConfig(), feature_stride=8)
