@@ -24,6 +24,8 @@ device->host transfer (np.asarray), which does.
 
 import argparse
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -36,12 +38,43 @@ WARMUP = 2           # untimed rounds (compile + steady-state dispatch)
 ROUNDS = 8           # timed rounds; metric = median (tunnel RTT jitters)
 
 
+def _backend_reachable(timeout_s=150.0):
+    """Probe TPU backend init in a KILLABLE child process.
+
+    During a tunnel outage `jax.devices()` hangs indefinitely inside
+    backend init (observed 6h+, 2026-08-17/18) — no in-process timeout
+    can interrupt it, so the probe must be a subprocess. A dead probe
+    means this run would produce zero output; print an honest error
+    record instead so the driver gets a parseable line either way.
+    """
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--frames", type=int, default=FRAMES)
     p.add_argument("--rounds", type=int, default=ROUNDS)
     args = p.parse_args(argv)
     frames, rounds = args.frames, args.rounds
+    if not _backend_reachable():
+        # Last measured steady state lives in docs/BENCHMARKS.md; value 0
+        # here means "backend unreachable at run time", not "slow".
+        print(json.dumps({
+            "metric": "propagation_fps_per_chip_480p",
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+            "frames": frames,
+            "error": "tpu_backend_unreachable (tunnel outage; "
+                     "jax.devices() hung past probe timeout)",
+        }))
+        return
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
