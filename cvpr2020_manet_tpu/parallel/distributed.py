@@ -1,0 +1,97 @@
+"""Multi-host (multi-process) execution layer (SURVEY.md §3.3, §6).
+
+The reference's parallelism stops at single-node `nn.DataParallel`
+(ref:train_stage1.py expected) — one Python process, local GPUs. A TPU
+pod spans hosts: every process sees only its local chips, and one global
+SPMD program runs across all of them, XLA routing collectives over ICI
+within a slice and DCN across slices. This module owns the three pieces
+the trainers need to run that way; everything is a no-op in the
+single-process case so the same CLI flags work on one chip.
+
+  1. `initialize()` — process-group bootstrap. On Cloud TPU pods
+     `jax.distributed.initialize()` auto-detects coordinator/ranks from
+     the TPU metadata; elsewhere (CPU/GPU clusters, tests) pass
+     coordinator/num_processes/process_id explicitly or via the
+     MANET_COORDINATOR / MANET_NUM_PROCESSES / MANET_PROCESS_ID env vars.
+  2. The global-batch contract: `config.train.batch_size` is the GLOBAL
+     batch; each process feeds `local_batch_size()` samples per step.
+  3. `shard_host_batch()` — process-local numpy -> global `jax.Array`
+     (`jax.make_array_from_process_local_data`) so the jitted step sees
+     one mesh-sharded batch regardless of process count. Single-process
+     it passes numpy through untouched — on the tunneled TPU backend,
+     feeding pre-committed arrays into the jit step compiles a second
+     executable and runs far slower (see engine/prefetch.py docstring).
+
+Verified end-to-end by tests/test_distributed.py: 2 CPU processes, Gloo
+collectives, full stage-1 train steps with bitwise-identical replicated
+states across processes.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Mapping, Tuple
+
+import jax
+import numpy as np
+
+
+def initialize(coordinator: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None,
+               local_device_ids=None) -> Tuple[int, int]:
+    """Join the process group; returns (process_index, process_count).
+
+    Argument resolution order: explicit args > MANET_* env vars > JAX
+    auto-detection (Cloud TPU pod metadata / SLURM). With no resolvable
+    cluster spec at all this is a single-process no-op.
+    Safe to call once per process, BEFORE any other JAX API that
+    initializes the backend (jax.devices(), jit dispatch, ...).
+    """
+    coordinator = coordinator or os.environ.get("MANET_COORDINATOR")
+    if num_processes is None and "MANET_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["MANET_NUM_PROCESSES"])
+    if process_id is None and "MANET_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["MANET_PROCESS_ID"])
+
+    if coordinator is None and num_processes is None:
+        # Cloud TPU pods: initialize() with no args auto-detects; on
+        # plain single-host environments it raises — treat as 1 process.
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            return 0, 1
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+            local_device_ids=local_device_ids)
+    return jax.process_index(), jax.process_count()
+
+
+def local_batch_size(global_batch: int) -> int:
+    """Per-process feed size under the global-batch contract."""
+    n = jax.process_count()
+    if global_batch % n:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by "
+            f"process count {n}")
+    return global_batch // n
+
+
+def shard_host_batch(batch: Mapping[str, np.ndarray],
+                     shardings: Mapping[str, jax.sharding.Sharding]
+                     ) -> Dict[str, object]:
+    """Assemble per-process local batches into global mesh-sharded arrays.
+
+    `batch` holds this process's `local_batch_size()` samples; the result
+    is one global jax.Array per key, sharded per `shardings` (the
+    trainers' `batch_shardings`). Single-process: numpy pass-through
+    (the fast path on the tunneled backend — see module docstring).
+    """
+    if jax.process_count() == 1:
+        return dict(batch)
+    return {k: jax.make_array_from_process_local_data(shardings[k],
+                                                      np.asarray(v))
+            for k, v in batch.items()}

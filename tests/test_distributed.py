@@ -1,0 +1,82 @@
+"""Multi-host execution layer (parallel/distributed.py).
+
+The real thing, not a mock: a 2-process CPU job (Gloo collectives over
+localhost) runs full stage-1 train steps on distinct per-rank data
+shards; the replicated states must come out bitwise-identical. The
+upstream reference has no multi-host story at all (single-node
+DataParallel, SURVEY.md §3.3) — this layer is the DCN-scale extension.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from cvpr2020_manet_tpu.parallel import distributed as dist
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_local_batch_size_single_process():
+    assert dist.local_batch_size(4) == 4
+
+
+def test_local_batch_size_indivisible_raises(monkeypatch):
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError):
+        dist.local_batch_size(3)
+    assert dist.local_batch_size(4) == 2
+
+
+def test_shard_host_batch_passthrough_single_process():
+    batch = {"images": np.zeros((2, 3), np.float32)}
+    out = dist.shard_host_batch(batch, {})
+    assert out is not batch  # a copy of the dict...
+    assert out["images"] is batch["images"]  # ...but numpy passes through
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_train_states_identical():
+    """2 ranks x 1 CPU device, distinct data shards, 2 SGD steps:
+    both ranks must report the same loss and bitwise-equal params."""
+    port = _free_port()
+    env = dict(os.environ)
+    # the conftest's 8-device forcing must not leak into the workers —
+    # each rank is 1 CPU device so the run stays cheap on this 1-core box
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    # script-style invocation puts tests/ (not the repo) on sys.path[0]
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    worker = os.path.join(REPO, "tests", "_distributed_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(rank), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd=REPO)
+        for rank in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+    def field(out, key):
+        lines = [l for l in out.splitlines() if l.startswith(key)]
+        assert lines, out
+        return lines[-1].split()[1]
+    losses = [float(field(o, "LOSS")) for o in outs]
+    hashes = [field(o, "PARAMHASH") for o in outs]
+    assert np.isfinite(losses).all()
+    # loss is pmean'd over the global batch -> identical on every rank
+    assert losses[0] == losses[1], losses
+    assert hashes[0] == hashes[1], hashes
