@@ -38,10 +38,27 @@ def main():
     print(f"LOSS {float(metrics['loss']):.9f}", flush=True)
 
     import hashlib
-    digest = hashlib.sha256()
-    for leaf in jax.tree_util.tree_leaves(trainer.state.params):
-        digest.update(np.asarray(leaf).tobytes())
-    print(f"PARAMHASH {digest.hexdigest()}", flush=True)
+
+    def param_hash(params):
+        digest = hashlib.sha256()
+        for leaf in jax.tree_util.tree_leaves(params):
+            digest.update(np.asarray(leaf).tobytes())
+        return digest.hexdigest()
+
+    print(f"PARAMHASH {param_hash(trainer.state.params)}", flush=True)
+
+    # orbax under jax.distributed: every rank calls save/restore on the
+    # same (shared-fs) dir with the same step — orbax coordinates the
+    # writes internally. The restored state must match what was saved.
+    snap_dir = sys.argv[4] if len(sys.argv) > 4 else None
+    if snap_dir:
+        from cvpr2020_manet_tpu.utils.checkpoint import CheckpointManager
+        mgr = CheckpointManager(snap_dir)
+        mgr.save(trainer.state)
+        fresh = Trainer(cfg, matching_backend="jnp")
+        restored = mgr.restore(fresh.state)
+        assert int(restored.step) == int(trainer.state.step)
+        print(f"RESTOREHASH {param_hash(restored.params)}", flush=True)
 
 
 if __name__ == "__main__":

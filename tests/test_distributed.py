@@ -45,9 +45,11 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_train_states_identical():
+def test_two_process_train_states_identical(tmp_path):
     """2 ranks x 1 CPU device, distinct data shards, 2 SGD steps:
-    both ranks must report the same loss and bitwise-equal params."""
+    both ranks must report the same loss and bitwise-equal params,
+    and an orbax save/restore roundtrip (all ranks participating on a
+    shared fs) must reproduce them."""
     port = _free_port()
     env = dict(os.environ)
     # the conftest's 8-device forcing must not leak into the workers —
@@ -57,9 +59,10 @@ def test_two_process_train_states_identical():
     # script-style invocation puts tests/ (not the repo) on sys.path[0]
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     worker = os.path.join(REPO, "tests", "_distributed_worker.py")
+    snap = str(tmp_path / "snap")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(rank), "2", str(port)],
+            [sys.executable, worker, str(rank), "2", str(port), snap],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True, env=env, cwd=REPO)
         for rank in range(2)
@@ -76,7 +79,9 @@ def test_two_process_train_states_identical():
         return lines[-1].split()[1]
     losses = [float(field(o, "LOSS")) for o in outs]
     hashes = [field(o, "PARAMHASH") for o in outs]
+    restored = [field(o, "RESTOREHASH") for o in outs]
     assert np.isfinite(losses).all()
     # loss is pmean'd over the global batch -> identical on every rank
     assert losses[0] == losses[1], losses
     assert hashes[0] == hashes[1], hashes
+    assert restored == hashes, (restored, hashes)
