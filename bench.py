@@ -24,6 +24,7 @@ device->host transfer (np.asarray), which does.
 
 import argparse
 import json
+import os
 import subprocess
 import sys
 import time
@@ -38,46 +39,91 @@ WARMUP = 2           # untimed rounds (compile + steady-state dispatch)
 ROUNDS = 8           # timed rounds; metric = median (tunnel RTT jitters)
 
 
-def _backend_reachable(timeout_s=150.0):
-    """Probe TPU backend init in a KILLABLE child process.
+READY_TIMEOUT_S = 180.0   # backend init budget (healthy tunnel: seconds)
+TOTAL_TIMEOUT_S = 3300.0  # full-run budget (cold remote AOT compiles run
+                          # minutes per graph — see docs/BENCHMARKS.md)
+
+
+def _error_record(frames, msg):
+    # Last measured steady state lives in docs/BENCHMARKS.md; value 0
+    # here means "backend unreachable at run time", not "slow".
+    return json.dumps({
+        "metric": "propagation_fps_per_chip_480p",
+        "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
+        "frames": frames, "error": msg,
+    })
+
+
+def _watchdog(argv, frames):
+    """Run the measurement in a KILLABLE child; forward its JSON line.
 
     During a tunnel outage `jax.devices()` hangs indefinitely inside
     backend init (observed 6h+, 2026-08-17/18) — no in-process timeout
-    can interrupt it, so the probe must be a subprocess. A dead probe
-    means this run would produce zero output; print an honest error
-    record instead so the driver gets a parseable line either way.
+    can interrupt it, so the measurement itself must be the subprocess
+    (it then pays backend init exactly once). The child announces
+    "READY" after backend init; no READY within READY_TIMEOUT_S = a hung
+    tunnel -> kill and print an honest error record so the driver gets a
+    parseable line either way.
     """
+    import threading
+    env = dict(os.environ, MANET_BENCH_CHILD="1")
+    child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)] + list(argv),
+        stdout=subprocess.PIPE, text=True, env=env)
+    ready = threading.Event()
+    lines = []
+
+    def reader():
+        for line in child.stdout:
+            line = line.strip()
+            if line == "READY":
+                ready.set()
+            elif line:
+                lines.append(line)
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    if not ready.wait(READY_TIMEOUT_S):
+        child.kill()
+        print(_error_record(
+            frames, "tpu_backend_unreachable (tunnel outage; backend "
+                    f"init exceeded {READY_TIMEOUT_S:.0f}s)"))
+        return
     try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
+        child.wait(TOTAL_TIMEOUT_S)
     except subprocess.TimeoutExpired:
-        return False
+        child.kill()
+        print(_error_record(
+            frames, f"bench exceeded {TOTAL_TIMEOUT_S:.0f}s after "
+                    "backend init (hung mid-run)"))
+        return
+    t.join(10.0)
+    if child.returncode == 0 and lines:
+        print(lines[-1])
+    else:
+        print(_error_record(
+            frames, f"bench child exited rc={child.returncode}"))
 
 
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--frames", type=int, default=FRAMES)
     p.add_argument("--rounds", type=int, default=ROUNDS)
-    args = p.parse_args(argv)
+    args, argv = p.parse_args(argv), list(sys.argv[1:] if argv is None
+                                          else argv)
     frames, rounds = args.frames, args.rounds
-    if not _backend_reachable():
-        # Last measured steady state lives in docs/BENCHMARKS.md; value 0
-        # here means "backend unreachable at run time", not "slow".
-        print(json.dumps({
-            "metric": "propagation_fps_per_chip_480p",
-            "value": 0.0,
-            "unit": "frames/s",
-            "vs_baseline": 0.0,
-            "frames": frames,
-            "error": "tpu_backend_unreachable (tunnel outage; "
-                     "jax.devices() hung past probe timeout)",
-        }))
-        return
+    if os.environ.get("MANET_BENCH_CHILD") != "1":
+        return _watchdog(argv, frames)
     import jax
+    if os.environ.get("MANET_BENCH_PLATFORM"):
+        # test hook: the sandbox's sitecustomize overrides JAX_PLATFORMS,
+        # so a CPU run of the child needs the in-process config update
+        jax.config.update("jax_platforms",
+                          os.environ["MANET_BENCH_PLATFORM"])
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    jax.devices()            # backend init — the hang point in an outage
+    print("READY", flush=True)
     import jax.numpy as jnp
 
     from cvpr2020_manet_tpu.config import Config, EvalConfig

@@ -105,13 +105,26 @@ class DavisTrainDataset:
 
     def __init__(self, root: str = "", cfg=None, subset: str = "train",
                  year: str = "2017", clip_len: int = 3, seed: int = 0,
-                 adapter=None, emit_uint8: bool = False):
+                 adapter=None, emit_uint8: bool = False,
+                 shard: tuple[int, int] | None = None):
+        """shard=(index, count): restrict sampling to sequences
+        [index::count] — a DISJOINT per-rank split for multi-host DP
+        without the grain pipeline (grain shards by clip index instead)."""
         self.eval_ds = adapter if adapter is not None else DavisEvalDataset(
             root, subset=subset, year=year)
         self.cfg = cfg
         self.clip_len = clip_len
         self.emit_uint8 = emit_uint8
         self._rng = np.random.default_rng(seed)
+        self._shard = shard
+        if shard is not None:
+            index, count = shard
+            if not 0 <= index < count:
+                raise ValueError(f"bad shard {shard}")
+            if len(self.eval_ds.sequences()[index::count]) == 0:
+                raise ValueError(
+                    f"shard {shard} is empty: only "
+                    f"{len(self.eval_ds.sequences())} sequences")
 
     def _augment(self, images: np.ndarray, labels: np.ndarray,
                  rng: np.random.Generator | None = None):
@@ -165,6 +178,8 @@ class DavisTrainDataset:
             rng = self._rng
         o_max = self.cfg.model.max_objects
         seqs = self.eval_ds.sequences()
+        if self._shard is not None:
+            seqs = seqs[self._shard[0]::self._shard[1]]
         seq = seqs[rng.integers(len(seqs))]
         gt = self.eval_ds.gt_masks(seq)
         raw = self.eval_ds.images(seq)

@@ -453,7 +453,8 @@ def main(argv=None):
         mgr = CheckpointManager(args.snapshot_dir)
         if mgr.latest_step() is not None:
             trainer.state = mgr.restore(trainer.state)
-            print(f"resumed from step {int(trainer.state.step)}")
+            if proc == 0:
+                print(f"resumed from step {int(trainer.state.step)}")
 
     # multi-host: each rank loads a distinct data shard of its local
     # batch size; shard_host_batch assembles the global array per step.
@@ -471,9 +472,10 @@ def main(argv=None):
         next_batch = lambda: next(it)
     elif args.davis_root:
         from cvpr2020_manet_tpu.data.davis import DavisTrainDataset
-        ds = DavisTrainDataset(args.davis_root, cfg,
-                               seed=cfg.train.seed + shard_index,
-                               emit_uint8=args.uint8)
+        ds = DavisTrainDataset(
+            args.davis_root, cfg, seed=cfg.train.seed + shard_index,
+            emit_uint8=args.uint8,
+            shard=((shard_index, shard_count) if shard_count > 1 else None))
         next_batch = lambda: ds.batch(local_bs)
     else:
         rng = np.random.default_rng(cfg.train.seed + shard_index)

@@ -366,10 +366,11 @@ def main(argv=None):
         if args.ytvos_root:
             from cvpr2020_manet_tpu.data.ytvos import YTVOSDataset
             adapter = YTVOSDataset(args.ytvos_root)
-        ds = DavisTrainDataset(args.davis_root or "", cfg,
-                               clip_len=args.clip_len, adapter=adapter,
-                               seed=cfg.train.seed + shard_index,
-                               emit_uint8=args.uint8)
+        ds = DavisTrainDataset(
+            args.davis_root or "", cfg, clip_len=args.clip_len,
+            adapter=adapter, seed=cfg.train.seed + shard_index,
+            emit_uint8=args.uint8,
+            shard=((shard_index, shard_count) if shard_count > 1 else None))
         next_batch = lambda: ds.batch(local_bs)
     else:
         rng_syn = np.random.default_rng(cfg.train.seed + shard_index)
@@ -388,7 +389,8 @@ def main(argv=None):
         src = CheckpointManager(args.init_from)
         restored = src.restore(trainer.state)
         trainer.state = trainer.state.replace(params=restored.params)
-        print(f"initialized from stage-1 step {int(restored.step)}")
+        if proc == 0:
+            print(f"initialized from stage-1 step {int(restored.step)}")
 
     mgr = None
     if args.snapshot_dir:
@@ -396,7 +398,8 @@ def main(argv=None):
         mgr = CheckpointManager(args.snapshot_dir)
         if mgr.latest_step() is not None:
             trainer.state = mgr.restore(trainer.state)
-            print(f"resumed from step {int(trainer.state.step)}")
+            if proc == 0:
+                print(f"resumed from step {int(trainer.state.step)}")
 
     start = int(trainer.state.step)
     # synchronous numpy feed on purpose (see train_stage1.main and

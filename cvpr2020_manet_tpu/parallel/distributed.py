@@ -30,10 +30,36 @@ states across processes.
 from __future__ import annotations
 
 import os
+import sys
 from typing import Dict, Mapping, Tuple
 
 import jax
 import numpy as np
+
+
+def _multi_worker_markers() -> list:
+    """Env evidence that this host is ONE OF SEVERAL in a TPU job.
+
+    Deliberately strict: single-host TPU VMs also set
+    TPU_WORKER_HOSTNAMES (with one entry), so only multi-entry /
+    multi-process values count.
+    """
+    markers = []
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if "," in hosts:
+        markers.append(f"TPU_WORKER_HOSTNAMES={hosts}")
+    bounds = os.environ.get("TPU_PROCESS_BOUNDS", "")
+    try:
+        n = 1
+        for part in bounds.split(","):
+            n *= int(part)
+        if n > 1:
+            markers.append(f"TPU_PROCESS_BOUNDS={bounds}")
+    except ValueError:
+        pass
+    if os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        markers.append("MEGASCALE_COORDINATOR_ADDRESS")
+    return markers
 
 
 def initialize(coordinator: str | None = None,
@@ -57,9 +83,24 @@ def initialize(coordinator: str | None = None,
     if coordinator is None and num_processes is None:
         # Cloud TPU pods: initialize() with no args auto-detects; on
         # plain single-host environments it raises — treat as 1 process.
+        # The fallback must NOT swallow a failed init on a real pod: N
+        # hosts each believing they are rank 0 of 1 would train N
+        # independent jobs on the full batch and clobber each other's
+        # checkpoints. Pod markers present -> the failure is real.
         try:
             jax.distributed.initialize()
-        except Exception:
+        except Exception as e:
+            if _multi_worker_markers():
+                raise RuntimeError(
+                    "jax.distributed auto-detection failed but the env "
+                    f"says this is one host of a multi-host job "
+                    f"({_multi_worker_markers()}); refusing the "
+                    "single-process fallback — N hosts each believing "
+                    "they are rank 0/1 would train N independent jobs "
+                    "and clobber each other's checkpoints") from e
+            print(f"distributed.initialize: no cluster detected "
+                  f"({type(e).__name__}); single-process mode",
+                  file=sys.stderr)
             return 0, 1
     else:
         jax.distributed.initialize(

@@ -39,6 +39,38 @@ def test_shard_host_batch_passthrough_single_process():
     assert out["images"] is batch["images"]  # ...but numpy passes through
 
 
+def test_multi_worker_markers(monkeypatch):
+    for k in ("TPU_WORKER_HOSTNAMES", "TPU_PROCESS_BOUNDS",
+              "MEGASCALE_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(k, raising=False)
+    assert dist._multi_worker_markers() == []
+    # single-host TPU VMs (and this sandbox's sitecustomize) set a
+    # one-entry TPU_WORKER_HOSTNAMES — that must NOT count
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    assert dist._multi_worker_markers() == []
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1")
+    assert dist._multi_worker_markers()
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    monkeypatch.setenv("TPU_PROCESS_BOUNDS", "2,2,1")
+    assert dist._multi_worker_markers()
+    monkeypatch.setenv("TPU_PROCESS_BOUNDS", "1,1,1")
+    assert dist._multi_worker_markers() == []
+
+
+def test_initialize_refuses_silent_fallback_on_pod(monkeypatch):
+    def boom():
+        raise RuntimeError("metadata server unavailable")
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1")
+    with pytest.raises(RuntimeError, match="refusing"):
+        dist.initialize()
+    # no multi-worker evidence -> single-process fallback
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    monkeypatch.delenv("TPU_PROCESS_BOUNDS", raising=False)
+    monkeypatch.delenv("MEGASCALE_COORDINATOR_ADDRESS", raising=False)
+    assert dist.initialize() == (0, 1)
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -60,17 +92,23 @@ def test_two_process_train_states_identical(tmp_path):
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     worker = os.path.join(REPO, "tests", "_distributed_worker.py")
     snap = str(tmp_path / "snap")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(rank), "2", str(port), snap],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True, env=env, cwd=REPO)
-        for rank in range(2)
-    ]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        outs.append(out)
+
+    def launch(port):
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(rank), "2", str(port), snap],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, env=env, cwd=REPO)
+            for rank in range(2)
+        ]
+        return procs, [p.communicate(timeout=600)[0] for p in procs]
+
+    procs, outs = launch(port)
+    if any(p.returncode for p in procs) and any(
+            "already in use" in o.lower() for o in outs):
+        # _free_port close-then-rebind race: another process grabbed the
+        # port between probe and coordinator bind — retry once fresh
+        procs, outs = launch(_free_port())
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out
     def field(out, key):
