@@ -25,15 +25,24 @@ class SyntheticDataset:
     """
 
     def __init__(self, image_size=(32, 48), num_frames=4, num_sequences=2,
-                 num_objects=2, scribble_sets=2, seed=0, entry_frames=None):
+                 num_objects=2, scribble_sets=2, seed=0, entry_frames=None,
+                 hidden_spans=None):
         """entry_frames: optional per-object first-visible frame index —
         objects entering mid-sequence can't be segmented from an earlier
         annotated frame, so multi-round correction (and the cross-round
         matching/MA memory retaining it) becomes structurally necessary.
-        Late-appearing objects also exist in YouTube-VOS (SURVEY.md C12)."""
+        Late-appearing objects also exist in YouTube-VOS (SURVEY.md C12).
+
+        hidden_spans: optional {object_idx: (start, end)} — the object is
+        fully occluded (not drawn, label absent) for frames start <= f <
+        end. Re-acquisition after the gap can't come from the previous
+        frame (local matching and prev-mask see nothing): only the GLOBAL
+        matching against the annotated frame / round memory (SURVEY.md
+        C3/C8) recovers it — the classic VOS occlusion failure mode."""
         self.image_size = image_size
         self.num_frames = num_frames
         self.entry_frames = entry_frames or [0] * num_objects
+        self.hidden_spans = dict(hidden_spans or {})
         self._names = [f"synth_{i:02d}" for i in range(num_sequences)]
         self._num_objects = num_objects
         self.scribble_sets = scribble_sets
@@ -60,6 +69,9 @@ class SyntheticDataset:
             img = bg.copy()
             for o in range(n_obj):
                 if f < self.entry_frames[o]:
+                    continue
+                span = self.hidden_spans.get(o)
+                if span is not None and span[0] <= f < span[1]:
                     continue
                 y = int(starts[o][0] + vels[o][0] * f)
                 x = int(starts[o][1] + vels[o][1] * f)

@@ -73,11 +73,11 @@ def trained_eval_report():
     summary = ev.run_session(sess)
     rep = sess.get_report()
     rep = rep.assign(jf=0.5 * (rep.jaccard + rep.contour))
-    return summary, rep
+    return summary, rep, (cfg, trainer.model, variables)
 
 
 def test_trained_quality_above_floor(trained_eval_report):
-    summary, rep = trained_eval_report
+    summary, rep, _ = trained_eval_report
     jf_last = rep[rep.interaction == rep.interaction.max()].jf.mean()
     assert jf_last >= JF_FLOOR, (
         f"J&F@last={jf_last:.3f} < {JF_FLOOR} — interactive quality "
@@ -91,7 +91,7 @@ def test_rounds_do_not_degrade_and_some_round_improves(trained_eval_report):
     corrections across rounds never materially hurts (stage-1-only
     measurably DOES: 0.74 -> 0.60), and at least one corrective round
     beats the initial one."""
-    _, rep = trained_eval_report
+    _, rep, _ = trained_eval_report
     per_round = rep.groupby("interaction").jf.mean()
     first = per_round.iloc[0]
     later = per_round.iloc[4:].mean()
@@ -102,3 +102,48 @@ def test_rounds_do_not_degrade_and_some_round_improves(trained_eval_report):
     assert best >= first - 0.005, (
         f"no corrective round matches round 0: round0={first:.3f}, "
         f"best={best:.3f}")
+
+
+def test_reacquires_object_after_occlusion_gap(trained_eval_report):
+    """Occlusion re-acquisition (the classic VOS failure mode): an object
+    that vanishes for 2 frames re-enters with NO local-matching or
+    prev-mask support — at reappearance the previous frame contains
+    nothing of it. Only the global matching against the annotated frame
+    (SURVEY.md C3, and across rounds the C8 min-memory) can recover it;
+    the reference's architecture claims exactly this and a trained model
+    must demonstrate it. Entry-frames tasks (docs/QUALITY.md) test
+    acquiring NEW objects; this pins RE-acquiring a known one."""
+    import dataclasses
+
+    import jax
+
+    from cvpr2020_manet_tpu.data import SyntheticDataset
+    from cvpr2020_manet_tpu.engine.evaluator import Evaluator
+    from cvpr2020_manet_tpu.interactive.metrics import jaccard
+    from cvpr2020_manet_tpu.interactive.robot import InteractiveScribblesRobot
+
+    _, _, (cfg, model, variables) = trained_eval_report
+    cfg = dataclasses.replace(
+        cfg, eval=dataclasses.replace(cfg.eval, max_frames=6))
+    t = 6
+    ds = SyntheticDataset(image_size=cfg.eval.image_size, num_frames=t,
+                          num_sequences=1, num_objects=2, scribble_sets=1,
+                          seed=7, hidden_spans={1: (2, 4)})
+    seq = ds.sequences()[0]
+    gt = ds.gt_masks(seq)
+    # the task is well-posed: object 2 visible before and after the gap
+    assert all((gt[f] == 2).any() for f in (0, 1, 4, 5))
+    assert not any((gt[f] == 2).any() for f in (2, 3))
+
+    ev = Evaluator(cfg, model, variables)
+    state = ev.start_sequence(ds.images(seq), 2)
+    robot = InteractiveScribblesRobot()
+    # annotate frame 0 (pre-occlusion) — re-acquisition at frame 4 can
+    # then only come from global matching back to frame 0
+    scr = robot.scribble_frame(np.zeros_like(gt[0]), gt[0], 2, 0, t, seq)
+    masks = ev.run_round(state, scr.to_json(), gt.shape[1:], 2)
+
+    j_post = np.mean([jaccard(masks[f] == 2, gt[f] == 2) for f in (4, 5)])
+    assert j_post >= 0.35, (
+        f"object not re-acquired after occlusion gap: J(post-gap)="
+        f"{j_post:.3f} (global matching should recover it from frame 0)")

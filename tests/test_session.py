@@ -167,3 +167,20 @@ def test_global_summary_curve_math():
     # before any interaction completes, quality is 0
     grid, curve = s["curve"]
     assert curve[0] == 0.0
+
+
+def test_synthetic_entry_frames_and_hidden_spans():
+    """Data-level semantics of the hard-task knobs (docs/QUALITY.md):
+    entry_frames delays an object's first appearance; hidden_spans fully
+    occludes it for [start, end). Labels and pixels must agree."""
+    ds = SyntheticDataset(image_size=(32, 48), num_frames=6,
+                          num_sequences=1, num_objects=2, scribble_sets=1,
+                          seed=3, entry_frames=[0, 1],
+                          hidden_spans={1: (3, 5)})
+    gt = ds.gt_masks(ds.sequences()[0])
+    present = [(gt[f] == 2).any() for f in range(6)]
+    assert present == [False, True, True, False, False, True]
+    assert all((gt[f] == 1).any() for f in range(6))  # object 1 unaffected
+    # occluded frames show background texture where the object was
+    imgs = ds.images(ds.sequences()[0])
+    assert not np.array_equal(imgs[2], imgs[3])
