@@ -33,9 +33,18 @@ from cvpr2020_manet_tpu.interactive.scribbles import Scribbles
 @dataclasses.dataclass(frozen=True)
 class RobotParams:
     kernel_size: float = 0.15      # erosion kernel, relative to region size
+    # Cap on the EDT shrink radius in pixels (upstream davisinteractive
+    # `max_kernel_radius`); None = uncapped. Without it a very large error
+    # region erodes proportionally to sqrt(area) and the spine retreats
+    # further inside than upstream's robot would.
+    max_kernel_radius: float | None = None
     min_region_pixels: int = 10    # ignore smaller error regions
     min_path_nodes: int = 3        # drop degenerate scribbles
     sample_every: int = 4          # polyline subsampling stride (pixels)
+    # Upper bound on emitted polyline nodes per scribble (upstream
+    # davisinteractive `nb_points`); None = unbounded. Long spines are
+    # re-subsampled uniformly (endpoints kept) to fit.
+    max_path_points: int | None = None
     max_objects_per_round: int = 4 # scribble at most this many objects
 
 
@@ -174,6 +183,12 @@ class InteractiveScribblesRobot:
         if sub[-1] != path[-1]:
             sub.append(path[-1])
         path = sub
+        if p.max_path_points is not None and len(path) > p.max_path_points:
+            # uniform re-subsample to the node budget, endpoints kept
+            # (upstream `nb_points` semantics)
+            idx = np.linspace(0, len(path) - 1,
+                              p.max_path_points).round().astype(int)
+            path = [path[i] for i in dict.fromkeys(idx.tolist())]
         h, w = shape
         norm = [[x / max(w - 1, 1), y / max(h - 1, 1)] for (y, x) in path]
         return {"path": norm, "object_id": int(obj),
@@ -193,10 +208,12 @@ class InteractiveScribblesRobot:
         e = np.ascontiguousarray(err.astype(np.uint8))
         max_pts = h * w
         out = np.empty((max_pts, 2), np.int32)
+        cap = p.max_kernel_radius if p.max_kernel_radius is not None else 0.0
         npts = handle.scribble_path(
             e.ctypes.data_as(ctypes.c_void_p), h, w,
-            ctypes.c_float(p.kernel_size), p.min_region_pixels,
-            p.min_path_nodes, out.ctypes.data_as(ctypes.c_void_p), max_pts)
+            ctypes.c_float(p.kernel_size), ctypes.c_float(cap),
+            p.min_region_pixels, p.min_path_nodes,
+            out.ctypes.data_as(ctypes.c_void_p), max_pts)
         # npts == 0 => native ran but found no usable region: report the
         # empty path (caller drops it) rather than None (= "no native lib")
         return [(int(y), int(x)) for y, x in out[:npts]]
@@ -222,6 +239,8 @@ class InteractiveScribblesRobot:
         # scipy border_value=0), ~100x faster than a structuring element
         # proportional to region size
         radius = max(1.0, p.kernel_size * np.sqrt(area))
+        if p.max_kernel_radius is not None:
+            radius = min(radius, p.max_kernel_radius)
         d = ndimage.distance_transform_edt(np.pad(comp, 1))[1:-1, 1:-1]
         region = comp & (d > radius)
         if region.sum() < 3:

@@ -81,7 +81,8 @@ def lib():
             ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
         handle.scribble_path.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_float,
-            ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_int]
+            ctypes.c_float, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_int]
         handle.scribble_path.restype = ctypes.c_int
         _lib = handle
         return _lib

@@ -202,12 +202,18 @@ extern "C" {
 // Spine polyline of the largest error region.
 //   err:        (H, W) uint8 {0,1} error mask
 //   kernel_size, min_region_pixels: RobotParams semantics
+//   max_kernel_radius: cap on the EDT shrink radius in pixels (upstream
+//       davisinteractive `max_kernel_radius`); <= 0 means uncapped —
+//       without it, very large error regions erode more than upstream's
+//       robot would and the scribble geometry diverges exactly in the
+//       heavy-error rounds
 //   min_path_nodes: if the skeleton's longest path is shorter than this
 //       (compact blobs thin to a point), fall back to the geodesic
 //       diameter of the shrunk region itself
 //   out_yx:     int32 buffer for up to max_pts (y, x) pairs
 // Returns the number of path points written (0 = no usable region).
 int scribble_path(const uint8_t* err, int h, int w, float kernel_size,
+                  float max_kernel_radius,
                   int min_region_pixels, int min_path_nodes,
                   int32_t* out_yx, int max_pts) {
   int n = h * w;
@@ -218,6 +224,7 @@ int scribble_path(const uint8_t* err, int h, int w, float kernel_size,
 
   // proportional shrink via exact EDT (disk-erosion semantics)
   float r = std::max(1.0f, kernel_size * std::sqrt((float)area));
+  if (max_kernel_radius > 0.0f) r = std::min(r, max_kernel_radius);
   std::vector<float> d(n);
   edt_to_background(comp.data(), d.data(), h, w);
   long inner = 0;

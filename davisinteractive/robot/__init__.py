@@ -3,12 +3,10 @@ calling convention (upstream: davisinteractive/robot/interactive_robot.py;
 SURVEY.md C20).
 
 Upstream constructor knobs map onto the framework's `RobotParams`:
-`kernel_size` → erosion kernel (relative), `min_nb_nodes` → minimum
-polyline nodes. `max_kernel_radius` and `nb_points` are accepted for
-signature compatibility; the framework robot derives its kernel radius
-from the error-region size and subsamples polylines by a fixed pixel
-stride instead (`RobotParams.sample_every`), which the native and numpy
-skeleton pipelines share.
+`kernel_size` → erosion kernel (relative), `max_kernel_radius` → pixel
+cap on the derived erosion radius, `min_nb_nodes` → minimum polyline
+nodes, `nb_points` → upper bound on emitted polyline nodes. All four are
+honored by both the native (C++) and numpy skeleton pipelines.
 """
 
 import dataclasses
@@ -32,10 +30,11 @@ class InteractiveScribblesRobot(_Robot):
                  max_kernel_radius: int = 16,
                  min_nb_nodes: int = 4,
                  nb_points: int = 1000):
-        del max_kernel_radius, nb_points  # see module docstring
         super().__init__(dataclasses.replace(
             RobotParams(), kernel_size=kernel_size,
-            min_path_nodes=min_nb_nodes))
+            max_kernel_radius=float(max_kernel_radius),
+            min_path_nodes=min_nb_nodes,
+            max_path_points=nb_points))
 
     def interact(self, sequence: str, pred_masks: np.ndarray,
                  gt_masks: np.ndarray, nb_objects: Optional[int] = None,

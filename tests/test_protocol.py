@@ -6,7 +6,8 @@ from cvpr2020_manet_tpu.interactive import (
     Scribbles, annotated_frames, scribbles2mask)
 from cvpr2020_manet_tpu.interactive.metrics import (
     f_measure, jaccard, jf_per_frame)
-from cvpr2020_manet_tpu.interactive.robot import InteractiveScribblesRobot
+from cvpr2020_manet_tpu.interactive.robot import (
+    InteractiveScribblesRobot, RobotParams)
 from cvpr2020_manet_tpu.interactive.scribbles import (
     bresenham, scribble_masks_per_object)
 
@@ -148,6 +149,59 @@ def test_robot_fallback_matches_native():
         nat = robot._spine_path_native(mask)
         fb = robot._spine_path_fallback(mask)
         assert nat == fb, name
+
+
+def test_robot_max_kernel_radius_caps_shrink():
+    """Upstream davisinteractive caps the erosion radius at
+    `max_kernel_radius` (default 16 px). On a LARGE error region the
+    uncapped proportional radius (0.15 * sqrt(area)) erodes far more, so
+    the capped spine must reach closer to the region boundary — i.e. be
+    strictly longer. Checked on BOTH skeleton pipelines (VERDICT r3 #7)."""
+    import dataclasses
+    big = np.zeros((300, 360), np.uint8)
+    yy, xx = np.mgrid[0:300, 0:360]
+    # right-triangle region (a rectangle is degenerate here: its skeleton
+    # bar length is erosion-invariant); area ~40k -> uncapped radius ~30
+    tri = ((xx >= 40) & (yy <= 259)
+           & (yy - 40 >= (259 - 40) / (319 - 40) * (319 - xx)))
+    big[tri] = 1
+    capped = InteractiveScribblesRobot(dataclasses.replace(
+        RobotParams(), max_kernel_radius=16.0))
+    uncapped = InteractiveScribblesRobot()
+    for impl in ("native", "fallback"):
+        if impl == "native":
+            from cvpr2020_manet_tpu import native
+            if native.lib() is None:
+                continue   # covered by the fallback leg
+        p_cap = _spine_path(capped, big, impl)
+        p_unc = _spine_path(uncapped, big, impl)
+        xs_cap = np.array([x for _, x in p_cap])
+        xs_unc = np.array([x for _, x in p_unc])
+        # capped erosion (16 px vs ~30) leaves a larger region -> the
+        # spine is longer and reaches closer to the region boundary
+        assert len(p_cap) > len(p_unc), impl
+        assert xs_cap.min() < xs_unc.min(), impl
+        assert xs_cap.max() > xs_unc.max(), impl
+        # erosion floor respected: spine stays >= 16 px inside the leg
+        assert xs_cap.min() >= 40 + 16, impl
+
+
+def test_robot_max_path_points_bounds_emitted_nodes():
+    """`nb_points` (upstream) bounds the emitted polyline nodes; endpoints
+    of the spine are preserved."""
+    import dataclasses
+    robot = InteractiveScribblesRobot(dataclasses.replace(
+        RobotParams(), max_path_points=5))
+    rect, _ = _spine_fixtures()
+    line = robot._scribble_region(rect.astype(bool), 1, rect.shape)
+    assert line is not None
+    assert len(line["path"]) <= 5
+    free = InteractiveScribblesRobot()
+    line_free = free._scribble_region(rect.astype(bool), 1, rect.shape)
+    assert len(line_free["path"]) > 5          # the cap did the bounding
+    # endpoints unchanged by the re-subsample
+    assert line["path"][0] == line_free["path"][0]
+    assert line["path"][-1] == line_free["path"][-1]
 
 
 def test_robot_compact_region_still_scribbled():
