@@ -151,6 +151,31 @@ def downsample_mask_max(m: np.ndarray, stride: int) -> np.ndarray:
 
 
 @dataclasses.dataclass
+class RoundHandle:
+    """Un-fetched device outputs of one dispatched round.
+
+    `Evaluator.dispatch_round` returns one; `collect_round` downloads and
+    assembles the label maps. Splitting the two lets callers chain
+    dispatch-only rounds — the benchmark's link-independent device-path
+    measurement (bench.py), and profiling — without paying the
+    device->host mask transfer per round."""
+    pk: int                 # mask bits/px
+    annot: int              # annotated frame index
+    nf: int                 # actual (unpadded) frame count
+    t_bucket: int
+    masks: Any = None       # monolithic: (T, H, W*pk/8) packed, device
+    annot_mask: Any = None  # segmented: (1, H, W*pk/8) packed, device
+    seg_masks: list | None = None   # segmented: [(start, count, device)]
+
+    def probe(self) -> np.ndarray:
+        """Fetch ONE element of the round's last mask buffer — forces
+        completion of every dispatch in the round at ~zero transfer cost
+        (the tunneled backend's block_until_ready does not sync)."""
+        mk = self.masks if self.masks is not None else self.seg_masks[-1][2]
+        return np.asarray(mk[0, 0, :1])
+
+
+@dataclasses.dataclass
 class SequenceState:
     """Per-sequence device-resident state, persists across rounds."""
     feat: jax.Array        # (T, h, w, Cd)
@@ -646,7 +671,20 @@ class Evaluator:
                         [((0, (-image_hw[0]) % cfg.eval.pad_to)),
                          ((0, (-image_hw[1]) % cfg.eval.pad_to))],
                         constant_values=-1)
+        handle = self.dispatch_round(state, raster, annot, num_objects)
+        masks = self.collect_round(handle, image_hw)
+        self.round_latencies.append(time.perf_counter() - t0)
+        return masks
 
+    def dispatch_round(self, state: SequenceState, raster: np.ndarray,
+                       annot: int, num_objects: int) -> RoundHandle:
+        """Enqueue one round's device work (interaction branch, sweeps,
+        memory updates, packed-mask encode) with NO device->host transfer,
+        updating `state`'s device handles in place. `raster` is the
+        annotated frame's scribble raster already padded to `pad_to`
+        (int8, -1 = unscribbled); it may be a pre-uploaded device array.
+        Returns the handle `collect_round` downloads labels from."""
+        cfg = self.cfg
         o_bucket = state.prev_masks.shape[-1]
         assert num_objects + 1 <= o_bucket, (num_objects, o_bucket)
         obj_valid = np.zeros((o_bucket,), np.float32)
@@ -654,10 +692,9 @@ class Evaluator:
         t_bucket = state.feat.shape[0]
         frame_valid = (np.arange(t_bucket) < state.num_frames).astype(bool)
 
-        h_img, w_img = image_hw
         ms = cfg.eval.mask_stride
-        h_pad = (h_img + ((-h_img) % cfg.eval.pad_to)) // ms
-        w_pad = (w_img + ((-w_img) % cfg.eval.pad_to)) // ms
+        h_pad = raster.shape[0] // ms
+        w_pad = raster.shape[1] // ms
         stacked = self.memory_mode == "stacked"
         kw = {}
         live_rows = None
@@ -683,9 +720,11 @@ class Evaluator:
         # pack slices need W % (8/bits) == 0; e.g. width 848 at
         # mask_stride 4 cannot take the 1-bit code).
         pk = aligned_mask_bits(num_objects + 1, w_pad)
+        handle = RoundHandle(pk=pk, annot=annot, nf=state.num_frames,
+                             t_bucket=t_bucket)
         if cfg.eval.round_segments > 1:
-            masks = self._run_round_segmented(
-                state, args, kw, annot, frame_valid, (h_pad, w_pad), pk,
+            self._dispatch_segmented(
+                state, handle, args, kw, frame_valid, (h_pad, w_pad),
                 live_rows)
         else:
             full_args = args[:9] + (jnp.asarray(frame_valid),)
@@ -699,24 +738,56 @@ class Evaluator:
                     *full_args, mask_hw=(h_pad, w_pad), pack=pk)
             state.prev_masks, state.gmap_mem = probs, gmap
             state.int_mem = int_mem
-            masks = np.asarray(masks)[:state.num_frames]
-            masks = unpack_labels(masks, pk)
+            handle.masks = masks
         state.round_idx += 1
+        return handle
+
+    def collect_round(self, handle: RoundHandle,
+                      image_hw: tuple[int, int]) -> np.ndarray:
+        """Download + assemble a dispatched round's (T_actual, H, W)
+        label maps."""
+        pk = handle.pk
+        if handle.masks is not None:
+            masks = np.asarray(handle.masks)[:handle.nf]
+            masks = unpack_labels(masks, pk)
+        else:
+            # downloads: issued CONCURRENTLY from a thread pool — the
+            # tunnel multiplexes the fetch RPCs, so each fetch's fixed RTT
+            # and the byte transfers overlap both each other and the later
+            # segments' device compute (device_get releases the GIL)
+            fetches = [self._fetch_pool.submit(np.asarray,
+                                               handle.annot_mask)]
+            fetches += [self._fetch_pool.submit(np.asarray, mk)
+                        for _, _, mk in handle.seg_masks]
+            lab_annot = unpack_labels(fetches[0].result(), pk)[0]
+            nf = handle.nf
+            labels = np.zeros((nf, *lab_annot.shape), np.uint8)
+            labels[handle.annot] = lab_annot
+            fwd_len = handle.t_bucket - 1 - handle.annot
+            for (s0, c, _), fut in zip(handle.seg_masks, fetches[1:]):
+                lab = unpack_labels(fut.result(), pk)
+                for j in range(c):
+                    i = s0 + j
+                    f = (handle.annot + 1 + i if i < fwd_len
+                         else handle.annot - 1 - (i - fwd_len))
+                    if 0 <= f < nf:
+                        labels[f] = lab[j]
+            masks = labels
+        ms = self.cfg.eval.mask_stride
         if ms > 1:
             masks = np.repeat(np.repeat(masks, ms, axis=1), ms, axis=2)
-        masks = masks[:, :h_img, :w_img].astype(np.int32)
-        self.round_latencies.append(time.perf_counter() - t0)
-        return masks
+        h_img, w_img = image_hw
+        return masks[:, :h_img, :w_img].astype(np.int32)
 
-    def _run_round_segmented(self, state: SequenceState, args, kw,
-                             annot: int, frame_valid: np.ndarray,
-                             mask_hw, pk: int,
-                             live_rows: int | None = None) -> np.ndarray:
+    def _dispatch_segmented(self, state: SequenceState, handle: RoundHandle,
+                            args, kw, frame_valid: np.ndarray,
+                            mask_hw, live_rows: int | None = None) -> None:
         """Pipelined round: 1 interaction dispatch + S sweep dispatches,
-        all enqueued up front (dispatch is async); the packed-mask
-        downloads then drain in order, each overlapping the later
-        segments' device compute. Bitwise-identical masks to the
+        all enqueued up front (dispatch is async); collect_round then
+        drains the packed-mask downloads in order, each overlapping the
+        later segments' device compute. Bitwise-identical masks to the
         monolithic round (pinned by tests)."""
+        pk = handle.pk
         out = self._start(*args, **kw, mask_hw=mask_hw, pack=pk,
                           live_rows=live_rows)
         if self.memory_mode == "stacked":
@@ -737,27 +808,8 @@ class Evaluator:
                 pack=pk)
             seg_masks.append((s0, c, mk))
         state.prev_masks, state.gmap_mem, state.int_mem = pm, gm, im
-
-        # downloads: issued CONCURRENTLY from a thread pool — the tunnel
-        # multiplexes the fetch RPCs, so each fetch's fixed RTT and the
-        # byte transfers overlap both each other and the later segments'
-        # device compute (device_get releases the GIL)
-        fetches = [self._fetch_pool.submit(np.asarray, out["annot_mask"])]
-        fetches += [self._fetch_pool.submit(np.asarray, mk)
-                    for _, _, mk in seg_masks]
-        lab_annot = unpack_labels(fetches[0].result(), pk)[0]
-        nf = state.num_frames
-        labels = np.zeros((nf, *lab_annot.shape), np.uint8)
-        labels[annot] = lab_annot
-        fwd_len = t_bucket - 1 - annot
-        for (s0, c, _), fut in zip(seg_masks, fetches[1:]):
-            lab = unpack_labels(fut.result(), pk)
-            for j in range(c):
-                i = s0 + j
-                f = annot + 1 + i if i < fwd_len else annot - 1 - (i - fwd_len)
-                if 0 <= f < nf:
-                    labels[f] = lab[j]
-        return labels
+        handle.annot_mask = out["annot_mask"]
+        handle.seg_masks = seg_masks
 
     # ---------------- full benchmark ----------------------------------- #
 
