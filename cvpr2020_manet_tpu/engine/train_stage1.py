@@ -396,12 +396,59 @@ def synthetic_batch(cfg: Config, rng: np.random.Generator,
             "frame_valid": np.ones((b, 3), np.float32)}
 
 
+def add_train_override_args(p) -> None:
+    """Flagship-dims overrides shared by both trainer CLIs (the measured
+    single-chip sweet spots live in docs/BENCHMARKS.md's training table;
+    TrainConfig holds the reference-recipe defaults)."""
+    p.add_argument("--batch", type=int, default=None,
+                   help="global batch size (TrainConfig.batch_size)")
+    p.add_argument("--crop", type=int, default=None,
+                   help="square crop size (stage 2 at crop 416 x 3 "
+                        "simulated rounds OOMs a 16G chip; use ~192)")
+    p.add_argument("--total_steps", type=int, default=None,
+                   help="poly-LR horizon (TrainConfig.total_steps)")
+    p.add_argument("--checkpoint_every", type=int, default=None)
+    p.add_argument("--objects", type=int, default=None,
+                   help="objects per synthetic clip")
+    p.add_argument("--random_entry", action="store_true",
+                   help="synthetic objects enter mid-clip "
+                        "(entering-object churn; see synthetic_batch)")
+    p.add_argument("--release", default=None,
+                   help="dir to export an immutable release checkpoint "
+                        "of the final params")
+
+
+def apply_train_overrides(cfg: Config, args) -> Config:
+    import dataclasses
+    tr = {}
+    if args.batch is not None:
+        tr["batch_size"] = args.batch
+    if args.crop is not None:
+        tr["crop_size"] = (args.crop, args.crop)
+    if args.total_steps is not None:
+        tr["total_steps"] = args.total_steps
+    if args.checkpoint_every is not None:
+        tr["checkpoint_every"] = args.checkpoint_every
+    if tr:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, **tr))
+    return cfg
+
+
+def export_release_if_requested(args, trainer, proc: int) -> None:
+    if args.release and proc == 0:
+        from cvpr2020_manet_tpu.utils.checkpoint import export_release
+        export_release(jax.device_get(trainer.state.params), args.release)
+        print(f"release exported to {args.release}", flush=True)
+
+
 def main(argv=None):
     import argparse
     from cvpr2020_manet_tpu.config import Config, tiny_test_config
     from cvpr2020_manet_tpu.utils.logging import MetricLogger
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=100)
+    add_train_override_args(p)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--davis_root", default=None,
@@ -437,7 +484,8 @@ def main(argv=None):
         proc, nproc = dist.initialize(args.coordinator, args.num_processes,
                                       args.process_id)
 
-    cfg = tiny_test_config() if args.tiny else Config()
+    cfg = apply_train_overrides(
+        tiny_test_config() if args.tiny else Config(), args)
     local_bs = dist.local_batch_size(cfg.train.batch_size)
     trainer = Trainer(cfg)
     # one metrics stream per job: non-zero ranks train silently (their
@@ -479,8 +527,10 @@ def main(argv=None):
         next_batch = lambda: ds.batch(local_bs)
     else:
         rng = np.random.default_rng(cfg.train.seed + shard_index)
-        next_batch = lambda: synthetic_batch(cfg, rng, as_uint8=args.uint8,
-                                             batch_size=local_bs)
+        next_batch = lambda: synthetic_batch(
+            cfg, rng, num_objects=args.objects,
+            random_entry=args.random_entry, as_uint8=args.uint8,
+            batch_size=local_bs)
     if args.distributed:
         base_feed = next_batch
         next_batch = lambda: dist.shard_host_batch(
@@ -500,6 +550,7 @@ def main(argv=None):
             mgr.save(trainer.state)
     if mgr is not None:
         mgr.save(trainer.state)
+    export_release_if_requested(args, trainer, proc)
     logger.flush()
 
 

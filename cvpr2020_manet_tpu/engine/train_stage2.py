@@ -304,6 +304,13 @@ def main(argv=None):
     from cvpr2020_manet_tpu.utils.logging import MetricLogger
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=100)
+    from cvpr2020_manet_tpu.engine.train_stage1 import (
+        add_train_override_args, apply_train_overrides,
+        export_release_if_requested)
+    add_train_override_args(p)
+    p.add_argument("--sim_rounds", type=int, default=None,
+                   help="simulated interaction rounds per sample "
+                        "(TrainConfig.stage2_rounds)")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--davis_root", default=None,
                    help="train on DAVIS clips (data/davis.py) instead of "
@@ -342,7 +349,12 @@ def main(argv=None):
         proc, nproc = dist.initialize(args.coordinator, args.num_processes,
                                       args.process_id)
 
-    cfg = tiny_test_config() if args.tiny else Config()
+    cfg = apply_train_overrides(
+        tiny_test_config() if args.tiny else Config(), args)
+    if args.sim_rounds is not None:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, stage2_rounds=args.sim_rounds))
     local_bs = dist.local_batch_size(cfg.train.batch_size)
     trainer = Stage2Trainer(cfg)
     logger = MetricLogger(args.log_dir if proc == 0 else None,
@@ -374,9 +386,10 @@ def main(argv=None):
         next_batch = lambda: ds.batch(local_bs)
     else:
         rng_syn = np.random.default_rng(cfg.train.seed + shard_index)
-        next_batch = lambda: synthetic_batch(cfg, rng_syn,
-                                             as_uint8=args.uint8,
-                                             batch_size=local_bs)
+        next_batch = lambda: synthetic_batch(
+            cfg, rng_syn, num_objects=args.objects,
+            random_entry=args.random_entry, as_uint8=args.uint8,
+            batch_size=local_bs)
     if args.distributed:
         base_feed = next_batch
         next_batch = lambda: dist.shard_host_batch(
@@ -413,6 +426,7 @@ def main(argv=None):
             mgr.save(trainer.state)
     if mgr is not None:
         mgr.save(trainer.state)
+    export_release_if_requested(args, trainer, proc)
     logger.flush()
 
 

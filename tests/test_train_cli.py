@@ -53,6 +53,24 @@ def test_stage2_cli_davis_root_with_clip_padding(davis_root):  # noqa: F811
           "--clip_len", "6"])
 
 
+def test_stage1_cli_overrides_and_release(tmp_path):
+    """--batch/--crop/--total_steps/--objects/--random_entry/--release
+    override wiring (both trainer CLIs share it): trains on churned
+    synthetic data and exports a loadable release checkpoint."""
+    from cvpr2020_manet_tpu.engine.train_stage1 import main
+    rel = tmp_path / "rel"
+    main(["--tiny", "--steps", "1", "--synthetic", "--batch", "1",
+          "--crop", "32", "--total_steps", "4", "--objects", "1",
+          "--random_entry", "--release", str(rel)])
+    assert (rel / "params").exists() or any(rel.iterdir())
+
+
+def test_stage2_cli_sim_rounds_override():
+    from cvpr2020_manet_tpu.engine.train_stage2 import main
+    main(["--tiny", "--steps", "1", "--batch", "1", "--crop", "32",
+          "--sim_rounds", "2", "--random_entry"])
+
+
 def test_bench_train_cli_smoke(capsys):
     """scripts/bench_train.py prints one parsable JSON line per stage."""
     import importlib.util
