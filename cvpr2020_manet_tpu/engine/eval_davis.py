@@ -133,11 +133,20 @@ def main(argv=None):
         os.makedirs(os.path.dirname(args.report) or ".", exist_ok=True)
         session.get_report().to_csv(args.report, index=False)
     lat = np.asarray(evaluator.round_latencies)
+    # per-frame-bucket p50: DAVIS val spans the 32/64/104 buckets and the
+    # long-sequence rounds cost proportionally more (more frames per
+    # round) — a global p50 alone hides that
+    per_bucket = {}
+    for tb, _, dt in evaluator.round_records:
+        per_bucket.setdefault(tb, []).append(dt)
     print(json.dumps({
         "auc": round(summary["auc"], 4),
         "jf_at_60s": round(summary["metric_at_threshold"], 4),
         "p50_round_latency_s": round(float(np.median(lat)), 4) if lat.size else None,
         "rounds_run": int(lat.size),
+        "p50_by_frame_bucket": {
+            str(tb): round(float(np.median(v)), 4)
+            for tb, v in sorted(per_bucket.items())},
     }))
     if args.host:
         session.close()  # free the server-side session (report is in hand)

@@ -246,6 +246,10 @@ class Evaluator:
                                                "pack"))
         self._fetch_pool = _FETCH_POOL
         self.round_latencies: list[float] = []
+        # (frame_bucket, object_bucket, seconds) per round — lets callers
+        # report per-bucket latency (DAVIS val spans the 32/64/104 frame
+        # buckets; a global p50 hides the long-sequence cost)
+        self.round_records: list[tuple[int, int, float]] = []
 
     # ---------------- jitted graphs ----------------------------------- #
 
@@ -673,7 +677,10 @@ class Evaluator:
                         constant_values=-1)
         handle = self.dispatch_round(state, raster, annot, num_objects)
         masks = self.collect_round(handle, image_hw)
-        self.round_latencies.append(time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        self.round_latencies.append(dt)
+        self.round_records.append(
+            (handle.t_bucket, state.prev_masks.shape[-1], dt))
         return masks
 
     def dispatch_round(self, state: SequenceState, raster: np.ndarray,
