@@ -59,6 +59,7 @@ class BatchPropagator:
         self._one_seq = jax.jit(self._one_seq_impl, static_argnames=("o",))
         from cvpr2020_manet_tpu.engine.evaluator import _FETCH_POOL
         self._fetch_pool = _FETCH_POOL
+        self._upload_pool = None   # created on first upload(threads>1)
 
     def _extract_impl(self, frames_u8):
         """(N, H, W, 3) uint8 -> (features, embeddings)."""
@@ -127,11 +128,18 @@ class BatchPropagator:
     # interleave: dispatch batch i, upload batch i+1 (rides under batch
     # i's device compute), drain batch i — see main()'s timed loop.
 
-    def upload(self, frames_u8: np.ndarray) -> list:
+    def upload(self, frames_u8: np.ndarray, threads: int = 1) -> list:
         """Chunked host->device upload, interleaved with encoder DISPATCH
         so each chunk's transfer rides under the previous chunk's encoder
         compute (dispatch is async; the upload is the host-blocking part
-        on the sandbox link). Returns per-chunk (feat, emb) futures."""
+        on the sandbox link). Returns per-chunk (feat, emb) futures.
+
+        threads > 1 issues the per-chunk `device_put`s CONCURRENTLY from
+        a thread pool: the tunnel multiplexes transfer RPCs (measured for
+        downloads — the segmented round's concurrent mask fetches), so
+        parallel uploads can raise aggregate bandwidth on the
+        upload-exposed 720p configuration. Encoder chunks still dispatch
+        in order."""
         bt, h_img, w_img, _ = frames_u8.shape
         flat = frames_u8.reshape(bt, h_img, w_img, 3)
         # full 8-frame chunks + at most one remainder chunk: the encoder
@@ -139,6 +147,15 @@ class BatchPropagator:
         # (B, T) product (a non-dividing bt used to fall back to one
         # bt-sized chunk — fresh compile per shape, batch-scaled memory)
         outs = []
+        if threads > 1:
+            import concurrent.futures
+            if self._upload_pool is None or \
+                    self._upload_pool._max_workers != threads:
+                self._upload_pool = concurrent.futures.ThreadPoolExecutor(
+                    max_workers=threads, thread_name_prefix="frame-upload")
+            puts = [self._upload_pool.submit(jax.device_put, flat[i:i + 8])
+                    for i in range(0, bt, 8)]
+            return [self._extract(f.result()) for f in puts]
         for i in range(0, bt, 8):
             dev = jax.device_put(flat[i:i + 8])
             outs.append(self._extract(dev))   # async dispatch; next
@@ -263,6 +280,9 @@ def main(argv=None):
     p.add_argument("--checkpoint", default=None,
                    help="orbax release export dir")
     p.add_argument("--timed_batches", type=int, default=4)
+    p.add_argument("--upload_threads", type=int, default=1,
+                   help="concurrent device_put threads for frame upload "
+                        "(multiplexes the transfer link; see upload())")
     p.add_argument("--tiny", action="store_true")
     args = p.parse_args(argv)
 
@@ -340,12 +360,13 @@ def main(argv=None):
 
     # pipelined: batch i+1's chunked upload is issued between batch i's
     # dispatch and drain, riding under batch i's device compute
-    ex = prop.upload(flatten(timed[0][0]))
+    ex = prop.upload(flatten(timed[0][0]), threads=args.upload_threads)
     t0 = time.perf_counter()
     for i, (fr, fm, no) in enumerate(timed):
         fetches, bits = prop.dispatch(ex, fm, no, (b, t))
         if i + 1 < len(timed):
-            ex = prop.upload(flatten(timed[i + 1][0]))
+            ex = prop.upload(flatten(timed[i + 1][0]),
+                             threads=args.upload_threads)
         prop.drain(fetches, bits)
     t_pipe = (time.perf_counter() - t0) / len(timed)
 

@@ -100,6 +100,28 @@ def test_upload_chunks_bounded_for_non_multiple_of_8():
     assert [f.shape[0] for f, _ in outs] == [8, 2]
 
 
+def test_upload_threaded_matches_serial():
+    """upload(threads>1) multiplexes the per-chunk device_puts over a
+    thread pool; chunking and extracted values must match the serial
+    path exactly."""
+    cfg = tiny_test_config()
+    h, w = cfg.eval.image_size
+    o = cfg.model.max_objects + 1
+    model = MANet(cfg.model, matching_backend="jnp")
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)),
+        jnp.zeros((1, h // 4, w // 4, o)), jnp.zeros((1, h // 4, w // 4, o)))
+    prop = BatchPropagator(cfg, model, variables)
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, (10, h, w, 3), dtype=np.uint8)
+    serial = prop.upload(frames)
+    threaded = prop.upload(frames, threads=3)
+    assert [f.shape[0] for f, _ in threaded] == [8, 2]
+    for (fs, es), (ft, et) in zip(serial, threaded):
+        np.testing.assert_array_equal(np.asarray(fs), np.asarray(ft))
+        np.testing.assert_array_equal(np.asarray(es), np.asarray(et))
+
+
 def test_mixed_object_buckets_in_one_batch():
     """Sequences run in their own object bucket (small clips get small
     graphs); a mixed batch still produces correct per-sequence labels."""
