@@ -94,6 +94,13 @@ class TrainConfig:
     remat_chunk: int = 6
     # Stage-2 (interaction + memory aggregation) round simulation
     stage2_rounds: int = 3
+    # Thread the per-frame global-map MIN-FUSION memory (SURVEY.md C8)
+    # through the simulated rounds, exactly as the evaluator does across
+    # real rounds. Without this the model never sees stale minima at
+    # train time — eval-time hard min-fusion is out-of-distribution,
+    # the round-3 hypothesis for why reference semantics (gmap_refresh=0)
+    # lost to ablation on entering-object tasks (docs/QUALITY.md).
+    stage2_gmap_memory: bool = True
     log_every: int = 50
     checkpoint_every: int = 2000
 

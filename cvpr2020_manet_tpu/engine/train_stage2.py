@@ -149,12 +149,16 @@ def forward_sample_stage2(model: MANet, params, images, labels, obj_valid,
 
     init_probs = jnp.zeros((f, hh, ww, o)).at[..., 0].set(1.0)
     init_mem = jnp.zeros((o, hh, ww, mcfg.ma_channels), jnp.float32)
+    # per-frame global-map min-fusion memory across simulated rounds
+    # (TrainConfig.stage2_gmap_memory): ones = "no match yet", exactly the
+    # evaluator's cross-round C8 state
+    init_gmap = jnp.ones((f, hh, ww, o), jnp.float32)
 
     fv = (jnp.ones((f,), jnp.float32) if frame_valid is None
           else frame_valid.astype(jnp.float32))
 
     def round_step(carry, xs):
-        probs, int_mem = carry
+        probs, int_mem, gmap = carry
         r, key_r = xs
         # worst frame by soft IoU (on-device robot: frame selection);
         # padded frames can never be picked as the annotated frame
@@ -178,21 +182,25 @@ def forward_sample_stage2(model: MANet, params, images, labels, obj_valid,
 
         def prop_frame(t):
             prev = jnp.clip(t - 1, 0, f - 1)
-            logits, _ = model.apply(
+            g_prev = (gmap[t] if cfg.train.stage2_gmap_memory
+                      else jnp.ones((hh, ww, o), jnp.float32))
+            logits, g_new = model.apply(
                 variables, feat[t], emb[t], ref_emb, ref_oh_flat, None,
-                jnp.ones((hh, ww, o), jnp.float32),
+                g_prev,
                 jnp.take(emb, prev, axis=0), jnp.take(probs, prev, axis=0),
                 int_mem, obj_valid, method=model.propagate)
-            return logits
+            return logits, g_new
 
         # lax.map (vmap cannot batch the DMA'd Pallas matching kernels)
-        logits = jax.lax.map(prop_frame, jnp.arange(f))    # (F, hh, ww, O)
+        logits, g_all = jax.lax.map(prop_frame, jnp.arange(f))  # (F,hh,ww,O)
+        if cfg.train.stage2_gmap_memory:
+            gmap = g_all   # min-fused inside propagate (C8 semantics)
         # the annotated frame keeps its interaction-branch refresh
         int_l = int_logits + (1.0 - obj_valid)[None, None, :] * (-1e9)
         logits = logits.at[a].set(int_l)
         new_probs = jax.nn.softmax(
             logits + (1.0 - obj_valid)[None, None, None, :] * (-1e9), -1)
-        return (new_probs, int_mem), logits
+        return (new_probs, int_mem, gmap), logits
 
     keys = jax.random.split(key, rounds)
     # remat each simulated round: the R-round scan otherwise holds every
@@ -200,8 +208,8 @@ def forward_sample_stage2(model: MANet, params, images, labels, obj_valid,
     # rounds exceeds a 16G v5e (17.7G requested); recomputing the round
     # forward during backprop trades ~1/3 more FLOPs for R x less
     # activation memory (SURVEY.md §8 / brief: jax.checkpoint)
-    (_, _), logits_rounds = jax.lax.scan(
-        jax.checkpoint(round_step), (init_probs, init_mem),
+    (_, _, _), logits_rounds = jax.lax.scan(
+        jax.checkpoint(round_step), (init_probs, init_mem, init_gmap),
         (jnp.arange(rounds), keys))                        # (R, F, hh, ww, O)
 
     up = jax.vmap(jax.vmap(lambda l: resize_bilinear(l, (h, w))))(
@@ -311,6 +319,10 @@ def main(argv=None):
     p.add_argument("--sim_rounds", type=int, default=None,
                    help="simulated interaction rounds per sample "
                         "(TrainConfig.stage2_rounds)")
+    p.add_argument("--no_gmap_memory", action="store_true",
+                   help="do NOT thread the C8 min-fusion memory through "
+                        "the simulated rounds (pre-round-4 behavior; "
+                        "ablation control for the QUALITY.md study)")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--davis_root", default=None,
                    help="train on DAVIS clips (data/davis.py) instead of "
@@ -351,10 +363,15 @@ def main(argv=None):
 
     cfg = apply_train_overrides(
         tiny_test_config() if args.tiny else Config(), args)
-    if args.sim_rounds is not None:
+    if args.sim_rounds is not None or args.no_gmap_memory:
         import dataclasses
+        tr = {}
+        if args.sim_rounds is not None:
+            tr["stage2_rounds"] = args.sim_rounds
+        if args.no_gmap_memory:
+            tr["stage2_gmap_memory"] = False
         cfg = dataclasses.replace(cfg, train=dataclasses.replace(
-            cfg.train, stage2_rounds=args.sim_rounds))
+            cfg.train, **tr))
     local_bs = dist.local_batch_size(cfg.train.batch_size)
     trainer = Stage2Trainer(cfg)
     logger = MetricLogger(args.log_dir if proc == 0 else None,

@@ -73,6 +73,10 @@ def main(argv=None):
                         "and run the eval protocol only")
     p.add_argument("--gmap_refresh", type=float, default=0.0,
                    help="leaky min-fusion fraction (config.EvalConfig)")
+    p.add_argument("--mask_stride", type=int, default=1,
+                   help="mask readback stride (config.EvalConfig): 2 "
+                        "quarters the dominant mask download; this flag "
+                        "measures its J&F cost at flagship 480p")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model + tiny eval resolution (CPU logic "
@@ -106,10 +110,11 @@ def main(argv=None):
             cfg.train, crop_size=(args.crop, args.crop),
             batch_size=args.batch, total_steps=args.steps1))
 
-    if args.gmap_refresh > 0.0:
+    if args.gmap_refresh > 0.0 or args.mask_stride != 1:
         cfg = dataclasses.replace(
             cfg, eval=dataclasses.replace(cfg.eval,
-                                          gmap_refresh=args.gmap_refresh))
+                                          gmap_refresh=args.gmap_refresh,
+                                          mask_stride=args.mask_stride))
     if args.eval_release:
         from cvpr2020_manet_tpu.models import MANet
         from cvpr2020_manet_tpu.utils.checkpoint import load_release

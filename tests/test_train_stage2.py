@@ -111,6 +111,47 @@ def test_stage2_step_runs_and_learns():
     assert losses[-1] < losses[0]
 
 
+def test_stage2_gmap_memory_threads_across_rounds():
+    """TrainConfig.stage2_gmap_memory threads the C8 min-fusion memory
+    through the simulated rounds (eval semantics). With ONE simulated
+    round the two settings are identical (round 0's memory is all-ones
+    either way); with several rounds they must diverge — the memory
+    actually reaches the later rounds' propagation."""
+    import dataclasses
+
+    from cvpr2020_manet_tpu.engine.train_stage2 import forward_sample_stage2
+    from cvpr2020_manet_tpu.models.manet import MANet
+
+    base = tiny_test_config()
+    rng = np.random.default_rng(1)
+
+    def run(rounds, gmap_memory):
+        cfg = dataclasses.replace(base, train=dataclasses.replace(
+            base.train, stage2_rounds=rounds,
+            stage2_gmap_memory=gmap_memory))
+        model = MANet(cfg.model, matching_backend="jnp")
+        h, w = cfg.train.crop_size
+        o = cfg.model.max_objects + 1
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)),
+            jnp.zeros((1, h // 4, w // 4, o)),
+            jnp.zeros((1, h // 4, w // 4, o)))
+        batch = synthetic_batch(cfg, np.random.default_rng(1), batch_size=1)
+        return forward_sample_stage2(
+            model, variables["params"], jnp.asarray(batch["images"][0]),
+            jnp.asarray(batch["labels"][0]),
+            jnp.asarray(batch["obj_valid"][0]), cfg, jax.random.PRNGKey(3))
+
+    one_on = np.asarray(run(1, True))
+    one_off = np.asarray(run(1, False))
+    np.testing.assert_allclose(one_on, one_off, atol=1e-5)
+
+    multi_on = np.asarray(run(3, True))
+    multi_off = np.asarray(run(3, False))
+    np.testing.assert_allclose(multi_on[0], multi_off[0], atol=1e-5)
+    assert np.abs(multi_on[1:] - multi_off[1:]).max() > 1e-4
+
+
 def test_stage2_uint8_ingest_smoke():
     """Stage-2 shares train_stage1.ingest_batch: uint8 feed trains."""
     import numpy as np
