@@ -48,6 +48,8 @@ def build_evaluator(cfg, checkpoint: str | None = None,
 
 
 def main(argv=None):
+    from cvpr2020_manet_tpu.utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
     import dataclasses
 
     from cvpr2020_manet_tpu.config import Config

@@ -262,6 +262,8 @@ def _load_batches(ds, batch: int, frames: int, image_hw, stride: int):
 
 
 def main(argv=None):
+    from cvpr2020_manet_tpu.utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
     import argparse
     import json
     import time

@@ -443,6 +443,8 @@ def export_release_if_requested(args, trainer, proc: int) -> None:
 
 
 def main(argv=None):
+    from cvpr2020_manet_tpu.utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
     import argparse
     from cvpr2020_manet_tpu.config import Config, tiny_test_config
     from cvpr2020_manet_tpu.utils.logging import MetricLogger

@@ -307,6 +307,8 @@ class Stage2Trainer:
 
 
 def main(argv=None):
+    from cvpr2020_manet_tpu.utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
     import argparse
     from cvpr2020_manet_tpu.config import tiny_test_config
     from cvpr2020_manet_tpu.utils.logging import MetricLogger

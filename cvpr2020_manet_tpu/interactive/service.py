@@ -451,6 +451,8 @@ class RemoteSession:
 
 
 def main(argv=None):
+    from cvpr2020_manet_tpu.utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
     """Serve a DAVIS tree (or the synthetic fixture) for remote eval:
 
         python -m cvpr2020_manet_tpu.interactive.service \
