@@ -191,6 +191,24 @@ class SequenceState:
     mem_onehot: jax.Array | None = None   # (R_max * h * w, O)
 
 
+def release_state(state: SequenceState, keep_features: bool = False) -> None:
+    """Free a sequence state's HBM buffers NOW (not at GC time).
+
+    A 104-frame 480p sequence holds ~1.4 GB of cached features alone;
+    `run_session` releases each item's state as the session moves on —
+    keeping every (sequence, set)'s state alive exhausted the chip's HBM
+    a third of the way through a DAVIS-val-scale session.
+    `keep_features` preserves feat/emb for reuse by the same sequence's
+    next scribble set (extract-once-per-video, SURVEY.md §1)."""
+    arrays = [state.prev_masks, state.gmap_mem, state.int_mem,
+              state.mem_emb, state.mem_onehot]
+    if not keep_features:
+        arrays += [state.feat, state.emb]
+    for a in arrays:
+        if a is not None and hasattr(a, "delete") and not a.is_deleted():
+            a.delete()
+
+
 class Evaluator:
     """Runs a model against an `InteractiveSession`."""
 
@@ -254,6 +272,13 @@ class Evaluator:
     # ---------------- jitted graphs ----------------------------------- #
 
     def _extract_impl(self, images):
+        if images.dtype == jnp.uint8:
+            # raw-byte ingest: normalization happens on device (4x less
+            # tunnel upload than host-normalized float32 frames); jit
+            # specializes per input dtype, so the float path is untouched
+            from cvpr2020_manet_tpu.engine.propagate_batch import (
+                preprocess_frames)
+            images = preprocess_frames(images)
         return self.model.apply(self.variables, images,
                                 method=self.model.extract_features)
 
@@ -624,14 +649,17 @@ class Evaluator:
         """Extract + cache features for all frames (the once-per-video
         cost), init memories."""
         cfg = self.cfg
-        o = self.object_bucket(num_objects)
         t_actual = images.shape[0]
         t_pad = self.frame_bucket(t_actual)
-        images = pad_image_to(images.astype(np.float32), cfg.eval.pad_to)
+        # uint8 frames upload raw and normalize ON DEVICE inside _extract
+        # (4x less tunnel traffic); float input keeps the original
+        # host-normalized contract
+        dt = np.uint8 if images.dtype == np.uint8 else np.float32
+        images = pad_image_to(images.astype(dt, copy=False), cfg.eval.pad_to)
         if t_actual < t_pad:
             images = np.concatenate(
                 [images, np.zeros((t_pad - t_actual, *images.shape[1:]),
-                                  np.float32)])
+                                  dt)])
         # Extract in fixed-size chunks: ONE encoder compilation (chunk
         # batch) serves any sequence length, and the compiled graph stays
         # small for the slow remote-compile service.
@@ -644,11 +672,17 @@ class Evaluator:
             embs.append(e)
         feat = jnp.concatenate(feats, axis=0)
         emb = jnp.concatenate(embs, axis=0)
-        t, h, w = t_pad, feat.shape[1], feat.shape[2]
+        return self._init_state(feat, emb, t_actual, num_objects)
+
+    def _init_state(self, feat: jax.Array, emb: jax.Array, t_actual: int,
+                    num_objects: int | None) -> SequenceState:
+        """Fresh round state around (already-extracted) sequence features."""
+        o = self.object_bucket(num_objects)
+        t, h, w = feat.shape[0], feat.shape[1], feat.shape[2]
         prev = jnp.zeros((t, h, w, o), jnp.float32).at[..., 0].set(1.0)
         mem_emb = mem_onehot = None
         if self.memory_mode == "stacked":
-            m = cfg.eval.max_interactions * h * w
+            m = self.cfg.eval.max_interactions * h * w
             mem_emb = jnp.zeros((m, emb.shape[-1]), emb.dtype)
             mem_onehot = jnp.zeros((m, o), jnp.float32)
         return SequenceState(
@@ -658,6 +692,16 @@ class Evaluator:
                               jnp.float32),
             round_idx=0, num_frames=t_actual,
             mem_emb=mem_emb, mem_onehot=mem_onehot)
+
+    def reset_rounds(self, state: SequenceState,
+                     num_objects: int | None = None) -> SequenceState:
+        """New-item state REUSING the sequence's cached features: the
+        encoder runs once per video and serves every scribble set
+        (SURVEY.md §1 — the reference's central efficiency claim).
+        Releases the old state's round buffers; feat/emb carry over."""
+        release_state(state, keep_features=True)
+        return self._init_state(state.feat, state.emb, state.num_frames,
+                                num_objects)
 
     def run_round(self, state: SequenceState, scribbles_json: Dict[str, Any],
                   image_hw: tuple[int, int], num_objects: int) -> np.ndarray:
@@ -826,24 +870,45 @@ class Evaluator:
         on_masks(seq, set_idx, round_idx, masks): optional per-submission
         callback (e.g. PNG dumping).
         """
-        states: dict[tuple, SequenceState] = {}
-        hw: dict[tuple, tuple] = {}   # full-res (H, W) per item
+        # ONE live device state: states are released as the session moves
+        # on (see release_state — keeping all of DAVIS val's states alive
+        # OOMs the chip), and feat/emb are reused across a sequence's
+        # scribble sets, so the encoder still runs once per video.
+        st: SequenceState | None = None
+        st_key = None          # (sequence, set) the live state serves
+        st_seq = None          # sequence whose features st holds
+        hw = None              # full-res (H, W) of st_seq
         with session as sess:
             while sess.next():
                 seq, scribbles, first = sess.get_scribbles(only_last=True)
                 key = sess.current
-                if key not in states:
-                    # Masks are scored at image resolution; the model loop
-                    # never touches ground truth (a RemoteSession's dataset
-                    # view has images/num_objects but no gt_masks).
-                    images = sess.dataset.images(seq)
-                    hw[key] = images.shape[1:3]
-                    states[key] = self.start_sequence(
-                        images, sess.dataset.num_objects(seq))
-                st = states[key]
+                if key != st_key:
+                    if seq == st_seq:
+                        # new scribble set, same sequence: fresh round
+                        # state over the cached features
+                        st = self.reset_rounds(
+                            st, sess.dataset.num_objects(seq))
+                    else:
+                        if st is not None:
+                            release_state(st)
+                        # Masks are scored at image resolution; the model
+                        # loop never touches ground truth (a RemoteSession
+                        # dataset view has images/num_objects, no gt).
+                        # Raw uint8 frames (when the dataset offers them)
+                        # normalize on device — 4x less upload.
+                        images_fn = getattr(sess.dataset, "images_uint8",
+                                            sess.dataset.images)
+                        images = images_fn(seq)
+                        hw = images.shape[1:3]
+                        st = self.start_sequence(
+                            images, sess.dataset.num_objects(seq))
+                        st_seq = seq
+                    st_key = key
                 masks = self.run_round(
-                    st, scribbles, hw[key], sess.dataset.num_objects(seq))
+                    st, scribbles, hw, sess.dataset.num_objects(seq))
                 if on_masks is not None:
                     on_masks(seq, key[1], st.round_idx - 1, masks)
                 sess.submit_masks(masks)
+        if st is not None:
+            release_state(st)
         return session.get_global_summary()

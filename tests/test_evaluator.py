@@ -286,3 +286,74 @@ def test_one_object_sequence_1bit_masks_and_stride_widening():
         masks = ev.run_round(state, scr, gt.shape[1:], ds.num_objects(seq))
         assert masks.shape == gt.shape
         assert masks.min() >= 0 and masks.max() <= 1
+
+
+def test_run_session_extracts_once_per_sequence_and_releases(eval_setup):
+    """HBM discipline at DAVIS-val scale (the dress-rehearsal OOM):
+    run_session keeps ONE live device state — features are extracted once
+    per SEQUENCE (reused across its scribble sets, SURVEY.md §1) and every
+    buffer is deleted by session end."""
+    cfg, _, model, variables = eval_setup
+    ds = SyntheticDataset(image_size=cfg.eval.image_size,
+                          num_frames=cfg.eval.max_frames,
+                          num_sequences=2, num_objects=2, scribble_sets=2)
+    ev = Evaluator(cfg, model, variables)
+    starts = []
+    orig = ev.start_sequence
+
+    def counting_start(images, num_objects=None):
+        st = orig(images, num_objects)
+        starts.append(st)
+        return st
+
+    ev.start_sequence = counting_start
+    session = InteractiveSession(ds, max_interactions=2)
+    summary = ev.run_session(session)
+    assert 0.0 <= summary["auc"] <= 1.0
+    # 2 sequences x 2 sets x 2 rounds ran, but the encoder ran per SEQUENCE
+    assert len(ev.round_latencies) == 8
+    assert len(starts) == 2
+    for st in starts:
+        assert st.feat.is_deleted()
+        assert st.prev_masks.is_deleted()
+
+
+def test_start_sequence_uint8_matches_host_normalized_float(eval_setup):
+    """uint8 ingest (device-side normalize in _extract) computes the same
+    features as the host-normalized float path."""
+    from cvpr2020_manet_tpu.data.davis import normalize_image
+    cfg, ds, model, variables = eval_setup
+    ev = Evaluator(cfg, model, variables)
+    rng = np.random.default_rng(3)
+    h, w = cfg.eval.image_size
+    u8 = rng.integers(0, 256, size=(cfg.eval.max_frames, h, w, 3),
+                      dtype=np.uint8)
+    f32 = normalize_image(u8.astype(np.float32) / 255.0)
+    st_u = ev.start_sequence(u8, 2)
+    st_f = ev.start_sequence(f32, 2)
+    np.testing.assert_allclose(np.asarray(st_u.emb), np.asarray(st_f.emb),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_reset_rounds_matches_fresh_state(eval_setup):
+    """reset_rounds (new scribble set over cached features) produces the
+    masks a from-scratch start_sequence would, and frees only the old
+    round buffers — feat/emb survive."""
+    cfg, ds, model, variables = eval_setup
+    ev = Evaluator(cfg, model, variables)
+    seq = ds.sequences()[0]
+    images = ds.images(seq)
+    hw = ds.gt_masks(seq).shape[1:]
+    scr = ds.initial_scribbles(seq, 0).to_json()
+    n = ds.num_objects(seq)
+
+    st1 = ev.start_sequence(images, n)
+    ev.run_round(st1, scr, hw, n)          # dirty the round state
+    st2 = ev.reset_rounds(st1, n)
+    assert st1.prev_masks.is_deleted()
+    assert not st2.feat.is_deleted()
+    m_reset = ev.run_round(st2, scr, hw, n)
+
+    st3 = ev.start_sequence(images, n)
+    m_fresh = ev.run_round(st3, scr, hw, n)
+    np.testing.assert_array_equal(m_reset, m_fresh)
