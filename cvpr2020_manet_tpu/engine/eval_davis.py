@@ -117,17 +117,35 @@ def main(argv=None):
         session = InteractiveSession(ds, max_interactions=args.rounds,
                                      max_time=args.max_time)
 
-    on_masks = None
+    import sys
+    import time as _time
+    t_start = _time.perf_counter()
+    n_items = len(ds.sequences()) * args.scribble_sets
+
+    save_fn = None
     if args.save_masks:
         from cvpr2020_manet_tpu.utils.colormap import save_indexed_png
 
-        def on_masks(seq, set_idx, round_idx, masks):
+        def save_fn(seq, set_idx, round_idx, masks):
             # final round overwrites earlier ones -> dir holds last-round
             # masks in DAVIS layout
             d = os.path.join(args.save_masks, f"scribble{set_idx + 1}", seq)
             os.makedirs(d, exist_ok=True)
             for t in range(masks.shape[0]):
                 save_indexed_png(os.path.join(d, f"{t:05d}.png"), masks[t])
+
+    def on_masks(seq, set_idx, round_idx, masks):
+        # per-round progress to stderr: a DAVIS-val session is hundreds of
+        # rounds over tens of minutes — silence until the final JSON made
+        # long runs undiagnosable (upstream davisinteractive logs each
+        # interaction the same way)
+        dt = evaluator.round_latencies[-1] if evaluator.round_latencies \
+            else float("nan")
+        print(f"[{_time.perf_counter() - t_start:7.1f}s] {seq} set {set_idx} "
+              f"round {round_idx}: {masks.shape[0]} frames in {dt:.2f}s "
+              f"({n_items} items total)", file=sys.stderr, flush=True)
+        if save_fn is not None:
+            save_fn(seq, set_idx, round_idx, masks)
 
     summary = evaluator.run_session(session, on_masks=on_masks)
 
