@@ -43,6 +43,11 @@ from cvpr2020_manet_tpu.models.manet import MANet
 _FETCH_POOL = concurrent.futures.ThreadPoolExecutor(
     max_workers=4, thread_name_prefix="mask-fetch")
 
+# ImageNet mean as raw bytes: the uint8 ingest path pads with this so that
+# after device-side normalization the padding is ≈0.0 — the same mean-gray
+# the host-normalized float path gets from zero padding.
+_MEAN_U8 = np.round(np.array([0.485, 0.456, 0.406]) * 255).astype(np.uint8)
+
 
 def pad_image_to(x: np.ndarray, multiple: int) -> np.ndarray:
     """Pad trailing spatial edges of (..., H, W, C) to a stride multiple."""
@@ -653,13 +658,21 @@ class Evaluator:
         t_pad = self.frame_bucket(t_actual)
         # uint8 frames upload raw and normalize ON DEVICE inside _extract
         # (4x less tunnel traffic); float input keeps the original
-        # host-normalized contract
+        # host-normalized contract. Padding must be the MEAN pixel in both
+        # modes (float pads 0.0 = mean in normalized space; raw 0 would be
+        # black ≈ -2.1σ and bleed into edge features through the conv
+        # receptive field).
         dt = np.uint8 if images.dtype == np.uint8 else np.float32
+        h0, w0 = images.shape[1:3]
         images = pad_image_to(images.astype(dt, copy=False), cfg.eval.pad_to)
+        if dt == np.uint8 and images.shape[1:3] != (h0, w0):
+            images[:, h0:] = _MEAN_U8
+            images[:, :, w0:] = _MEAN_U8
         if t_actual < t_pad:
+            fill = _MEAN_U8 if dt == np.uint8 else 0
             images = np.concatenate(
-                [images, np.zeros((t_pad - t_actual, *images.shape[1:]),
-                                  dt)])
+                [images, np.full((t_pad - t_actual, *images.shape[1:]),
+                                 fill, dt)])
         # Extract in fixed-size chunks: ONE encoder compilation (chunk
         # batch) serves any sequence length, and the compiled graph stays
         # small for the slow remote-compile service.

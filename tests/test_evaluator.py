@@ -335,6 +335,38 @@ def test_start_sequence_uint8_matches_host_normalized_float(eval_setup):
                                atol=1e-4, rtol=1e-4)
 
 
+def test_start_sequence_uint8_padding_matches_float_padding(eval_setup):
+    """At a non-pad_to-multiple size the two ingest modes must pad with the
+    SAME content: float pads 0.0 (= mean in normalized space), so uint8
+    pads the ImageNet-mean byte (evaluator._MEAN_U8) — raw zero padding
+    would be black (≈ -2.1σ) and bleed different values into edge features
+    through the conv receptive field."""
+    from cvpr2020_manet_tpu.data.davis import normalize_image
+    cfg, ds, model, variables = eval_setup
+    ev = Evaluator(cfg, model, variables)
+    rng = np.random.default_rng(4)
+    h, w = cfg.eval.image_size
+    # forces spatial padding (to pad_to) AND temporal padding (to the
+    # frame bucket)
+    u8 = rng.integers(0, 256, size=(cfg.eval.max_frames - 1, h - 3, w - 5, 3),
+                      dtype=np.uint8)
+    f32 = normalize_image(u8.astype(np.float32) / 255.0)
+    st_u = ev.start_sequence(u8, 2)
+    st_f = ev.start_sequence(f32, 2)
+    t = u8.shape[0]
+    # ACTUAL frames only: temporally padded frames can't agree (uint8 has
+    # no exact-mean byte, and GroupNorm blows a constant frame's conv
+    # boundary ripple up to unit variance) and are never read downstream —
+    # never the annotated frame, masks cropped to t_actual, memory entries
+    # unused.
+    eu, ef = np.asarray(st_u.emb)[:t], np.asarray(st_f.emb)[:t]
+    # mean-byte padding is within 1/2 LSB of exact mean -> edge features
+    # agree to ~1e-2; black padding diverges by O(1) here
+    scale = np.abs(ef).max()
+    assert np.abs(eu - ef).max() <= 2e-2 * scale, (
+        np.abs(eu - ef).max(), scale)
+
+
 def test_reset_rounds_matches_fresh_state(eval_setup):
     """reset_rounds (new scribble set over cached features) produces the
     masks a from-scratch start_sequence would, and frees only the old
