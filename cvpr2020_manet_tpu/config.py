@@ -96,11 +96,18 @@ class TrainConfig:
     stage2_rounds: int = 3
     # Thread the per-frame global-map MIN-FUSION memory (SURVEY.md C8)
     # through the simulated rounds, exactly as the evaluator does across
-    # real rounds. Without this the model never sees stale minima at
-    # train time — eval-time hard min-fusion is out-of-distribution,
-    # the round-3 hypothesis for why reference semantics (gmap_refresh=0)
-    # lost to ablation on entering-object tasks (docs/QUALITY.md).
-    stage2_gmap_memory: bool = True
+    # real rounds. This was the round-3 hypothesis for why reference
+    # semantics (gmap_refresh=0) lost to ablation on entering-object
+    # tasks; round 4 MEASURED it and it is wrong twice over
+    # (docs/QUALITY.md round-4 study): (a) churn-aligned stage-2 data
+    # alone recovers the refresh=0 win (+0.048 AUC over ablation), and
+    # (b) threading the memory through training collapses eval AUC
+    # 0.413 -> 0.250 on the same task despite LOWER train loss — the
+    # min-fused maps leak earlier simulated rounds' answers, so the
+    # model under-trains the matching path it needs at eval. Default
+    # False = the reference's stage-2 semantics; the knob stays for
+    # ablation reproduction.
+    stage2_gmap_memory: bool = False
     log_every: int = 50
     checkpoint_every: int = 2000
 

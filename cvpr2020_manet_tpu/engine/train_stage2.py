@@ -321,10 +321,14 @@ def main(argv=None):
     p.add_argument("--sim_rounds", type=int, default=None,
                    help="simulated interaction rounds per sample "
                         "(TrainConfig.stage2_rounds)")
+    p.add_argument("--gmap_memory", action="store_true",
+                   help="thread the C8 min-fusion memory through the "
+                        "simulated rounds (measured HARMFUL: QUALITY.md "
+                        "round-4 study, AUC 0.413 -> 0.250; kept for "
+                        "ablation reproduction)")
     p.add_argument("--no_gmap_memory", action="store_true",
-                   help="do NOT thread the C8 min-fusion memory through "
-                        "the simulated rounds (pre-round-4 behavior; "
-                        "ablation control for the QUALITY.md study)")
+                   help="explicit off switch (the default; kept so "
+                        "round-4 study command lines keep working)")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--davis_root", default=None,
                    help="train on DAVIS clips (data/davis.py) instead of "
@@ -365,13 +369,13 @@ def main(argv=None):
 
     cfg = apply_train_overrides(
         tiny_test_config() if args.tiny else Config(), args)
-    if args.sim_rounds is not None or args.no_gmap_memory:
+    if args.sim_rounds is not None or args.gmap_memory:
         import dataclasses
         tr = {}
         if args.sim_rounds is not None:
             tr["stage2_rounds"] = args.sim_rounds
-        if args.no_gmap_memory:
-            tr["stage2_gmap_memory"] = False
+        if args.gmap_memory:
+            tr["stage2_gmap_memory"] = True
         cfg = dataclasses.replace(cfg, train=dataclasses.replace(
             cfg.train, **tr))
     local_bs = dist.local_batch_size(cfg.train.batch_size)

@@ -104,6 +104,41 @@ def test_rounds_do_not_degrade_and_some_round_improves(trained_eval_report):
         f"best={best:.3f}")
 
 
+def test_gmap_refresh_settings_within_band(trained_eval_report):
+    """Gate over BOTH gmap_refresh settings (round-4 VERDICT #3 close-out,
+    docs/QUALITY.md round-4 study): with a properly trained stage 2,
+    exact reference semantics (refresh=0) and the leaky deployment
+    setting (refresh=0.7) must BOTH clear the quality floor and sit
+    within a small band of each other — the knob is a mild deployment
+    tweak, not a crutch. Measured on this stable tiny task:
+    refresh=0 AUC ~0.61, refresh=0.7 ~0.62 (flagship churn task:
+    0.413 vs 0.424). Goes red if either setting collapses (e.g. the
+    stage-2 leakage regression this round caught: training with the
+    memory threaded drove the refresh=0.7 eval to 0.203 vs 0.250)."""
+    import dataclasses
+
+    from cvpr2020_manet_tpu.data import SyntheticDataset
+    from cvpr2020_manet_tpu.engine.evaluator import Evaluator
+    from cvpr2020_manet_tpu.interactive.session import InteractiveSession
+
+    summary0, _, (cfg, model, variables) = trained_eval_report
+    cfg7 = dataclasses.replace(
+        cfg, eval=dataclasses.replace(cfg.eval, gmap_refresh=0.7))
+    ds = SyntheticDataset(image_size=cfg.eval.image_size,
+                          num_frames=cfg.eval.max_frames,
+                          num_sequences=4, num_objects=2, scribble_sets=1,
+                          seed=123)
+    ev7 = Evaluator(cfg7, model, variables)
+    sess7 = InteractiveSession(ds, max_interactions=8)
+    summary7 = ev7.run_session(sess7)
+
+    auc0, auc7 = summary0["auc"], summary7["auc"]
+    assert auc7 >= 0.35, f"refresh=0.7 collapsed: AUC={auc7:.3f}"
+    assert abs(auc7 - auc0) <= 0.08, (
+        f"refresh settings diverged beyond the measured band: "
+        f"refresh=0 AUC={auc0:.3f}, refresh=0.7 AUC={auc7:.3f}")
+
+
 def test_reacquires_object_after_occlusion_gap(trained_eval_report):
     """Occlusion re-acquisition (the classic VOS failure mode): an object
     that vanishes for 2 frames re-enters with NO local-matching or
