@@ -68,28 +68,54 @@ def main(argv=None):
     rows = []
 
     def timed(name, fn, x, per=1.0, flops_it=None):
-        """fn: (carry) -> (carry, out); scan-chained args.iters times."""
+        """fn: (carry) -> (carry, out); scan-chained, TWO-POINT timed.
+
+        Each dispatch of the chained graph carries a fixed host/tunnel
+        overhead (measured ~28 ms dispatch+fetch RTT on the sandbox link)
+        that single-count timing folds into every stage — at the old
+        iters=8 that inflated each stage by ~3.6 ms and made the 0.4 ms
+        prepare_ref read as 4.4 ms. Timing the SAME graph at two
+        iteration counts and reporting the slope
+        (t_hi - t_lo) / (iters_hi - iters_lo) cancels the fixed term and
+        yields the true marginal device time per iteration."""
         def body(c, _):
             c2, out = fn(c)
-            return c2, out
+            # reduce each output leaf to ONE element before the scan
+            # stacks it: the carry bump inside fn already forces the full
+            # computation, and stacking wide outputs over `length`
+            # iterations OOMs HBM at the high count (96 matching outputs
+            # = 19 GB).
+            return c2, jax.tree.map(lambda a: a.reshape(-1)[-1], out)
 
-        @jax.jit
-        def run(x):
-            c, outs = jax.lax.scan(body, x, None, length=args.iters)
-            return jnp.sum(jax.tree.leaves(outs)[-1][-1].astype(jnp.float32))
+        def make(n):
+            @jax.jit
+            def run(x):
+                c, outs = jax.lax.scan(body, x, None, length=n)
+                return jnp.sum(
+                    jax.tree.leaves(outs)[-1][-1].astype(jnp.float32))
+            return run
 
+        lo_n, hi_n = args.iters, args.iters * 4
+        run_lo, run_hi = make(lo_n), make(hi_n)
         t0 = time.time()
-        float(run(x))
+        float(run_lo(x))
         compile_s = time.time() - t0
-        best = float("inf")
+        float(run_hi(x))
+        best_lo = best_hi = float("inf")
         for _ in range(args.reps):
             t0 = time.time()
-            float(run(x))
-            best = min(best, (time.time() - t0) / args.iters)
+            float(run_lo(x))
+            best_lo = min(best_lo, time.time() - t0)
+            t0 = time.time()
+            float(run_hi(x))
+            best_hi = min(best_hi, time.time() - t0)
+        best = max((best_hi - best_lo) / (hi_n - lo_n), 1e-9)
+        fixed_ms = max(best_lo - lo_n * best, 0.0) * 1e3
         tf = (flops_it / best / 1e12) if flops_it else None
         rows.append((name, best * 1e3 / per, best * 1e3, tf))
         print(f"  {name:<12} {best * 1e3 / per:8.3f} ms/unit  "
-              f"({best * 1e3:.2f} ms/call, compile {compile_s:.0f}s"
+              f"({best * 1e3:.2f} ms/iter marginal, fixed {fixed_ms:.1f} ms"
+              f", compile {compile_s:.0f}s"
               + (f", {tf:.1f} TFLOP/s" if tf else "") + ")", flush=True)
 
     print(f"profile_stages: {h}x{w} T={t} O={o} C={ce} backend={backend}",
@@ -124,7 +150,7 @@ def main(argv=None):
         def prep(e0):
             b = prepare_ref(e0.reshape(-1, ce), onehot)
             return e0 + 0.0 * jnp.mean(
-                b.embeddings).astype(e0.dtype), b.embeddings
+                b.neg2pixels).astype(e0.dtype), b.neg2pixels
 
         timed("prepare_ref", prep, emb[0])
 
