@@ -131,6 +131,16 @@ class StreamingIVOS:
 
     # ------------------------------------------------------------------ #
 
+    def _zero_padded_border(self, image):
+        """Re-zero the padded border AFTER normalization so every ingest
+        path feeds the encoder identical (zero = ImageNet-mean) padding."""
+        h_img, w_img = self.cfg.eval.image_size
+        if h_img < self.hp:
+            image = image.at[h_img:, :, :].set(0.0)
+        if w_img < self.wp:
+            image = image.at[:, w_img:, :].set(0.0)
+        return image
+
     def _observe_impl(self, image, mem_emb, mem_onehot, int_mem,
                       prev_emb, prev_probs, obj_valid, has_memory,
                       head_mem_pre, *, n_rows, bits):
@@ -140,7 +150,20 @@ class StreamingIVOS:
         # round order, so the live rows are a prefix)
         mem_emb = jax.lax.slice_in_dim(mem_emb, 0, n_rows)
         mem_onehot = jax.lax.slice_in_dim(mem_onehot, 0, n_rows)
-        if image.dtype == jnp.uint8:
+        if isinstance(image, tuple):
+            # planar YUV 4:2:0 ingest: 1.5 bytes/px — half of uint8 RGB,
+            # 16x less than f32 — and the format video decoders emit
+            # natively (utils/ingest.py). BT.601 inverse + normalize fuse
+            # into the first conv.
+            from cvpr2020_manet_tpu.data.davis import (
+                IMAGENET_MEAN, IMAGENET_STD)
+            from cvpr2020_manet_tpu.utils.ingest import yuv420_to_rgb
+            y, uv = image
+            image = yuv420_to_rgb(y, uv) / 255.0
+            image = (image - jnp.asarray(IMAGENET_MEAN)) \
+                / jnp.asarray(IMAGENET_STD)
+            image = self._zero_padded_border(image)
+        elif image.dtype == jnp.uint8:
             # uint8 ingest + device-side normalize: a float32 1080p frame
             # is 25 MB over the host link, uint8 is 6. Re-zero the padded
             # border AFTER normalization so both ingest paths feed the
@@ -149,11 +172,7 @@ class StreamingIVOS:
             from cvpr2020_manet_tpu.engine.propagate_batch import (
                 preprocess_frames)
             image = preprocess_frames(image)
-            h_img, w_img = self.cfg.eval.image_size
-            if h_img < self.hp:
-                image = image.at[h_img:, :, :].set(0.0)
-            if w_img < self.wp:
-                image = image.at[:, w_img:, :].set(0.0)
+            image = self._zero_padded_border(image)
         feat, emb = model.apply(variables, image[None],
                                 method=model.extract_features)
         f_t, e_t = feat[0], emb[0]
@@ -234,16 +253,25 @@ class StreamingIVOS:
         immediately (JAX arrays are futures), so calls can be issued
         back-to-back at device speed.
 
-        image (H, W, 3): uint8 raw RGB (preferred — 4x cheaper over the
-        host link, normalized on device) or float32 already
-        ImageNet-normalized."""
+        image: (H, W, 3) uint8 raw RGB (preferred — 4x cheaper over the
+        host link, normalized on device), float32 already
+        ImageNet-normalized, or a planar YUV420 (y (H, W), uv
+        (H/2, W/2, 2)) uint8 pair — the video decoder's native output at
+        HALF the RGB bytes (utils/ingest.py)."""
         assert self.state is not None, "call reset(num_objects) first"
         st = self.state
-        if image.dtype != np.uint8:
-            image = image.astype(np.float32)
-        image = pad_image_to(image, self.cfg.eval.pad_to)
+        pad_to = self.cfg.eval.pad_to
+        if isinstance(image, tuple):
+            y, uv = image
+            y = pad_image_to(y[..., None], pad_to)[..., 0]
+            uv = pad_image_to(uv, pad_to // 2)
+            image = (jnp.asarray(y), jnp.asarray(uv))
+        else:
+            if image.dtype != np.uint8:
+                image = image.astype(np.float32)
+            image = jnp.asarray(pad_image_to(image, pad_to))
         f_t, e_t, probs, mask = self._observe(
-            jnp.asarray(image), st["mem_emb"], st["mem_onehot"],
+            image, st["mem_emb"], st["mem_onehot"],
             st["int_mem"], st["prev_emb"], st["prev_probs"],
             st["obj_valid"], jnp.asarray(st["rounds"] > 0),
             st["head_mem_pre"],

@@ -135,3 +135,42 @@ def test_streaming_live_pages_and_async():
     fut = s5.observe_async(images[0])       # packed at 1 bit/px
     s5.reset(num_objects=2)                 # stream re-keyed to 2 bits
     np.testing.assert_array_equal(fut.result(), ref)
+
+
+def test_streaming_yuv420_ingest():
+    """observe()/observe_async() accept the decoder's planar (y, uv)
+    pair: round 0 (no memory) is deterministic background regardless of
+    colorspace; after a correction the stream keeps producing valid
+    labels through the same jit caches."""
+    from cvpr2020_manet_tpu.utils.ingest import rgb_to_yuv420_host
+
+    cfg = tiny_test_config()
+    h, w = cfg.eval.image_size
+    o = cfg.model.max_objects + 1
+    ds = SyntheticDataset(image_size=(h, w), num_frames=3,
+                          num_sequences=1, num_objects=1)
+    seq = ds.sequences()[0]
+    images, gt = ds.images(seq), ds.gt_masks(seq)
+    frames_u8 = (np.clip(images, 0, 1) * 255).astype(np.uint8)
+
+    model = MANet(cfg.model, matching_backend="jnp")
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)),
+        jnp.zeros((1, h // 4, w // 4, o)), jnp.zeros((1, h // 4, w // 4, o)))
+    s = StreamingIVOS(cfg, model, variables)
+    s.reset(num_objects=1)
+
+    y0, uv0 = rgb_to_yuv420_host(frames_u8[0])
+    m0 = s.observe((y0, uv0))
+    assert m0.shape == (h, w)
+    assert (m0 == 0).all()           # no memory -> background, exactly
+
+    robot = InteractiveScribblesRobot()
+    scr = robot.scribble_frame(np.zeros_like(gt[0]), gt[0], 1, 0, 1, seq)
+    s.correct(scr.to_json())
+    m1 = s.observe(rgb_to_yuv420_host(frames_u8[1]))
+    assert m1.shape == (h, w)
+    assert 0 <= m1.min() and m1.max() <= cfg.model.max_objects
+    # mixed ingest on one stream: the rgb path still works after yuv
+    m2 = s.observe(frames_u8[2])
+    assert m2.shape == (h, w)
