@@ -197,21 +197,54 @@ def wrap_raw_image(fn, example_args):
                      *example_args[1:])
 
 
+def wrap_yuv420_image(fn, example_args):
+    """Image arg becomes the video decoder's planar YUV 4:2:0 pair —
+    y (H, W) + uv (H/2, W/2, 2) uint8, HALF the bytes of uint8 RGB —
+    with the BT.601 inverse + ImageNet normalization inside the exported
+    graph (utils/ingest.py; the natural live-video serving contract,
+    since H.264/VP9 decoders emit planar YUV)."""
+    from cvpr2020_manet_tpu.data.davis import IMAGENET_MEAN, IMAGENET_STD
+    from cvpr2020_manet_tpu.utils.ingest import yuv420_to_rgb
+
+    h, w = example_args[0].shape[:2]
+    if h % 2 or w % 2:
+        raise ValueError(f"yuv420 contract needs even dims, got {h}x{w}")
+
+    def wrapped(y, uv, *rest):
+        x = yuv420_to_rgb(y, uv) / 255.0
+        x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+        return fn(x, *rest)
+
+    return wrapped, (jnp.zeros((h, w), jnp.uint8),
+                     jnp.zeros((h // 2, w // 2, 2), jnp.uint8),
+                     *example_args[1:])
+
+
+_IMAGE_WRAPPERS = {"float32": None, "uint8": wrap_raw_image,
+                   "yuv420": wrap_yuv420_image}
+
+
 def export_forward(model, variables, image_size: Tuple[int, int],
                    num_objects: int, *,
                    platforms: Sequence[str] = ("tpu",),
-                   pad_to: int = 16, raw_image: bool = True):
+                   pad_to: int = 16, raw_image: bool = True,
+                   image_format: Optional[str] = None):
     """Lower the round-forward for `platforms` -> jax.export.Exported.
 
-    raw_image=True (default): the artifact takes uint8 RGB frames and
-    normalizes device-side; False keeps the normalized-float32 contract
-    (the graph `__graft_entry__.entry()` compile-checks)."""
+    image_format: 'uint8' (default — raw RGB frames, normalized
+    device-side), 'float32' (pre-normalized; the graph
+    `__graft_entry__.entry()` compile-checks), or 'yuv420' (the decoder's
+    planar pair — see wrap_yuv420_image). `raw_image` is the legacy
+    boolean spelling of uint8-vs-float32; image_format wins when given."""
     from jax import export as jex
 
+    fmt = image_format or ("uint8" if raw_image else "float32")
+    if fmt not in _IMAGE_WRAPPERS:
+        raise ValueError(f"unknown image_format {fmt!r}")
     fn, example_args = build_round_forward(
         model, variables, image_size, num_objects, pad_to=pad_to)
-    if raw_image:
-        fn, example_args = wrap_raw_image(fn, example_args)
+    if _IMAGE_WRAPPERS[fmt] is not None:
+        fn, example_args = _IMAGE_WRAPPERS[fmt](fn, example_args)
     checks = []
     if "tpu" in platforms:
         # Pallas matching kernels are tpu_custom_call custom calls.
@@ -307,20 +340,25 @@ BUNDLE_FORMAT = "ivosx-bundle/1"
 def export_serving_bundle(model, variables, image_size: Tuple[int, int],
                           num_objects: int, *,
                           platforms: Sequence[str] = ("tpu",),
-                          pad_to: int = 16, raw_image: bool = True):
+                          pad_to: int = 16, raw_image: bool = True,
+                          image_format: Optional[str] = None):
     """Lower every serving-loop stage -> {name: jax.export.Exported}.
 
-    raw_image=True: the `extract` entry takes uint8 RGB frames and
-    normalizes device-side (see wrap_raw_image)."""
+    image_format ('uint8' default / 'float32' / 'yuv420') sets the
+    `extract` entry's frame contract — see export_forward; raw_image is
+    the legacy boolean spelling."""
     from jax import export as jex
 
+    fmt = image_format or ("uint8" if raw_image else "float32")
+    if fmt not in _IMAGE_WRAPPERS:
+        raise ValueError(f"unknown image_format {fmt!r}")
     checks = []
     if "tpu" in platforms:
         checks.append(jex.DisabledSafetyCheck.custom_call("tpu_custom_call"))
     fns = build_serving_fns(model, variables, image_size, num_objects,
                             pad_to=pad_to)
-    if raw_image:
-        fns = dict(fns, extract=wrap_raw_image(*fns["extract"]))
+    if _IMAGE_WRAPPERS[fmt] is not None:
+        fns = dict(fns, extract=_IMAGE_WRAPPERS[fmt](*fns["extract"]))
     return {name: jex.export(jax.jit(fn), platforms=tuple(platforms),
                              disabled_checks=checks)(*args)
             for name, (fn, args) in fns.items()}

@@ -46,6 +46,11 @@ def main(argv=None):
                    help="write a serving BUNDLE (extract/interact/"
                         "aggregate/propagate graphs) instead of the "
                         "single fused round artifact")
+    p.add_argument("--image_format", default=None,
+                   choices=["uint8", "float32", "yuv420"],
+                   help="artifact image contract: uint8 RGB (default), "
+                        "pre-normalized float32, or the decoder's planar "
+                        "YUV 4:2:0 (y, uv) pair at half the RGB bytes")
     p.add_argument("--float_image", action="store_true",
                    help="image input stays normalized float32 (default: "
                         "raw uint8 RGB, normalization inside the graph)")
@@ -86,13 +91,15 @@ def main(argv=None):
         variables = dict(variables,
                          params=load_release(variables["params"], args.release))
 
-    raw = not args.float_image
+    fmt = args.image_format or ("float32" if args.float_image else "uint8")
     extra = {
         # image_size + pad_to + feature_stride define the artifact's
         # spatial contract: the scribble/probability grid is
         # (H + (-H) % pad_to) // stride per side
         "image_size": [h, w], "pad_to": pad_to, "feature_stride": 4,
-        "image_input": "uint8_rgb" if raw else "normalized_float32",
+        "image_input": {"uint8": "uint8_rgb",
+                        "float32": "normalized_float32",
+                        "yuv420": "yuv420_planar"}[fmt],
         "num_objects": num_objects,
         "matching_backend": args.matching_backend,
         "release": args.release or "",
@@ -100,12 +107,12 @@ def main(argv=None):
     if args.bundle:
         exports = ex.export_serving_bundle(model, variables, (h, w),
                                            num_objects, platforms=platforms,
-                                           pad_to=pad_to, raw_image=raw)
+                                           pad_to=pad_to, image_format=fmt)
         manifest = ex.save_bundle(exports, args.out, extra=extra)
     else:
         exported = ex.export_forward(model, variables, (h, w), num_objects,
                                      platforms=platforms, pad_to=pad_to,
-                                     raw_image=raw)
+                                     image_format=fmt)
         manifest = ex.save_artifact(exported, args.out, extra=extra)
     print(json.dumps(manifest, sort_keys=True))
 
@@ -113,8 +120,10 @@ def main(argv=None):
         bundle = ex.load_bundle(args.out)
         fns = ex.build_serving_fns(model, variables, (h, w), num_objects,
                                    pad_to=pad_to)
-        if raw:
+        if fmt == "uint8":
             fns = dict(fns, extract=ex.wrap_raw_image(*fns["extract"]))
+        elif fmt == "yuv420":
+            fns = dict(fns, extract=ex.wrap_yuv420_image(*fns["extract"]))
         rng = np.random.default_rng(0)
         for name in bundle.names:
             fn, example_args = fns[name]
@@ -129,8 +138,10 @@ def main(argv=None):
         loaded = ex.load_artifact(args.out)
         fn, example_args = ex.build_round_forward(
             model, variables, (h, w), num_objects, pad_to=pad_to)
-        if raw:
+        if fmt == "uint8":
             fn, example_args = ex.wrap_raw_image(fn, example_args)
+        elif fmt == "yuv420":
+            fn, example_args = ex.wrap_yuv420_image(fn, example_args)
         rng = np.random.default_rng(0)
         argv_ = [_rand_like(rng, a) for a in example_args]
         got = np.asarray(loaded(*argv_))

@@ -333,3 +333,53 @@ def test_sharded_cp_matching_exports_and_roundtrips(tmp_path):
     want = np.asarray(jax.jit(
         lambda: global_matching(q, k, oh, None))())
     np.testing.assert_array_equal(got, want)
+
+
+def test_yuv420_artifact_matches_host_decoded_rgb(model_and_vars, tmp_path):
+    """image_format='yuv420' artifact takes the decoder's planar (y, uv)
+    pair and equals the float-contract graph fed the SAME frame decoded
+    + normalized on the host — the whole colorspace+normalize transform
+    lives inside the exported graph."""
+    from cvpr2020_manet_tpu.data.davis import normalize_image
+    from cvpr2020_manet_tpu.utils.ingest import (
+        rgb_to_yuv420_host, yuv420_to_rgb)
+
+    cfg, model, variables = model_and_vars
+    h, w = cfg.eval.image_size
+    o = cfg.model.max_objects + 1
+    exported = ex.export_forward(model, variables, (h, w),
+                                 cfg.model.max_objects,
+                                 platforms=("cpu",), pad_to=cfg.eval.pad_to,
+                                 image_format="yuv420")
+    assert exported.in_avals[0].shape == (h, w)          # y plane
+    assert exported.in_avals[1].shape == (h // 2, w // 2, 2)  # uv
+    assert exported.in_avals[0].dtype == jnp.uint8
+    path = str(tmp_path / "yuv.ivosx")
+    ex.save_artifact(exported, path, extra={"image_input": "yuv420_planar"})
+    loaded = ex.load_artifact(path)
+    assert loaded.manifest["image_input"] == "yuv420_planar"
+
+    rng = np.random.default_rng(11)
+    img_u8 = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    y, uv = rgb_to_yuv420_host(img_u8)
+    pos = np.zeros((h // 4, w // 4, o), np.float32)
+    pos[1:3, 1:3, 1] = 1.0
+    neg = np.zeros_like(pos)
+    got = np.asarray(loaded(y, uv, pos, neg))
+
+    fn, _ = ex.build_round_forward(model, variables, (h, w),
+                                   cfg.model.max_objects,
+                                   pad_to=cfg.eval.pad_to)
+    decoded = np.asarray(yuv420_to_rgb(jnp.asarray(y), jnp.asarray(uv)))
+    want = np.asarray(jax.jit(fn)(
+        jnp.asarray(normalize_image(decoded / 255.0), jnp.float32),
+        pos, neg))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_export_rejects_unknown_image_format(model_and_vars):
+    cfg, model, variables = model_and_vars
+    with pytest.raises(ValueError):
+        ex.export_forward(model, variables, cfg.eval.image_size,
+                          cfg.model.max_objects, platforms=("cpu",),
+                          pad_to=cfg.eval.pad_to, image_format="jpeg")
