@@ -150,15 +150,20 @@ class StreamingIVOS:
         # round order, so the live rows are a prefix)
         mem_emb = jax.lax.slice_in_dim(mem_emb, 0, n_rows)
         mem_onehot = jax.lax.slice_in_dim(mem_onehot, 0, n_rows)
-        if isinstance(image, tuple):
-            # planar YUV 4:2:0 ingest: 1.5 bytes/px — half of uint8 RGB,
-            # 16x less than f32 — and the format video decoders emit
-            # natively (utils/ingest.py). BT.601 inverse + normalize fuse
-            # into the first conv.
+        if image.ndim == 1:
+            # planar YUV 4:2:0 ingest, packed into ONE flat uint8 buffer
+            # (y plane then uv plane) by observe_async: 1.5 bytes/px —
+            # half of uint8 RGB, 16x less than f32 — in a single
+            # transfer RPC (two per-plane device_puts pay the link RTT
+            # twice). The format video decoders emit natively
+            # (utils/ingest.py); BT.601 inverse + normalize fuse into
+            # the first conv.
             from cvpr2020_manet_tpu.data.davis import (
                 IMAGENET_MEAN, IMAGENET_STD)
             from cvpr2020_manet_tpu.utils.ingest import yuv420_to_rgb
-            y, uv = image
+            hp, wp = self.hp, self.wp
+            y = image[: hp * wp].reshape(hp, wp)
+            uv = image[hp * wp:].reshape(hp // 2, wp // 2, 2)
             image = yuv420_to_rgb(y, uv) / 255.0
             image = (image - jnp.asarray(IMAGENET_MEAN)) \
                 / jnp.asarray(IMAGENET_STD)
@@ -265,7 +270,10 @@ class StreamingIVOS:
             y, uv = image
             y = pad_image_to(y[..., None], pad_to)[..., 0]
             uv = pad_image_to(uv, pad_to // 2)
-            image = (jnp.asarray(y), jnp.asarray(uv))
+            # ONE flat buffer -> one transfer RPC (see _observe_impl)
+            image = jnp.asarray(np.concatenate(
+                [np.ascontiguousarray(y).reshape(-1),
+                 np.ascontiguousarray(uv).reshape(-1)]))
         else:
             if image.dtype != np.uint8:
                 image = image.astype(np.float32)
