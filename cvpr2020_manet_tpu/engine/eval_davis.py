@@ -67,6 +67,12 @@ def main(argv=None):
     p.add_argument("--checkpoint", default=None,
                    help="orbax release export dir (utils/checkpoint.py)")
     p.add_argument("--report", default=None, help="CSV path for the report")
+    p.add_argument("--resume", action="store_true",
+                   help="resume an interrupted run from --report: the "
+                        "report is checkpointed after EVERY completed "
+                        "(sequence, scribble-set) item, and on restart "
+                        "items already in the CSV are skipped (their rows "
+                        "seed the final summary). Local sessions only.")
     p.add_argument("--save_masks", default=None,
                    help="dir for final-round masks as DAVIS indexed PNGs")
     # default None -> inherit from the base config (so --tiny stays
@@ -110,12 +116,48 @@ def main(argv=None):
     evaluator = build_evaluator(cfg, args.checkpoint,
                                 context_parallel=args.context_parallel)
     if args.host:
+        if args.resume:
+            raise SystemExit("--resume needs a local session (the remote "
+                             "service owns the report) — drop --host")
         from cvpr2020_manet_tpu.interactive.service import RemoteSession
         session = RemoteSession(args.host, max_nb_interactions=args.rounds,
                                 max_time=args.max_time, images=ds)
     else:
+        skip_items, seed_rows = set(), None
+        if args.resume:
+            if not args.report:
+                raise SystemExit("--resume needs --report (the CSV is the "
+                                 "resume state)")
+            if os.path.exists(args.report):
+                import pandas as pd
+                prev = pd.read_csv(args.report)
+                # an item's rows are only written when the item FINISHES
+                # (see on_item_end below), so presence in the CSV means
+                # complete — no ambiguity with early-stopped items
+                skip_items = set(
+                    (str(s), int(i)) for s, i in
+                    prev[["sequence", "scribble_idx"]]
+                    .drop_duplicates().itertuples(index=False))
+                seed_rows = prev.to_dict("records")
+                print(f"resume: {len(skip_items)} completed items found in "
+                      f"{args.report}", file=__import__('sys').stderr,
+                      flush=True)
+        on_item_end = None
+        if args.resume:
+            def on_item_end(seq, set_idx):
+                # checkpoint the report after every completed item:
+                # temp + rename so a kill mid-write can't corrupt the
+                # resume state
+                os.makedirs(os.path.dirname(args.report) or ".",
+                            exist_ok=True)
+                tmp = args.report + ".tmp"
+                session.get_report().to_csv(tmp, index=False)
+                os.replace(tmp, args.report)
         session = InteractiveSession(ds, max_interactions=args.rounds,
-                                     max_time=args.max_time)
+                                     max_time=args.max_time,
+                                     skip_items=skip_items,
+                                     seed_rows=seed_rows,
+                                     on_item_end=on_item_end)
 
     import sys
     import time as _time

@@ -39,7 +39,16 @@ class InteractiveSession:
                  max_time: Optional[float] = None,
                  metric_to_optimize: str = "J_AND_F",
                  robot: Optional[InteractiveScribblesRobot] = None,
-                 time_fn=time.perf_counter):
+                 time_fn=time.perf_counter,
+                 skip_items=None, seed_rows=None, on_item_end=None):
+        """skip_items/seed_rows/on_item_end support RESUMING an
+        interrupted run: skip_items is a set of completed
+        (sequence, scribble_idx) pairs dropped from the work queue,
+        seed_rows re-seeds their report rows (so the final summary spans
+        the whole dataset), and on_item_end(sequence, scribble_idx)
+        fires exactly once when an item finishes — the hook callers use
+        to checkpoint the report incrementally (engine/eval_davis.py
+        --resume)."""
         self.dataset = dataset
         self.max_interactions = max_interactions
         # davisinteractive semantics: per-(sequence x scribble-set) time
@@ -50,9 +59,13 @@ class InteractiveSession:
         self.metric = metric_to_optimize
         self.robot = robot or InteractiveScribblesRobot()
         self._time = time_fn
+        self.on_item_end = on_item_end
         # (sequence, scribble_set) work queue
+        skip = skip_items or set()
         self._queue = [(s, i) for s in dataset.sequences()
-                       for i in range(dataset.num_scribble_sets(s))]
+                       for i in range(dataset.num_scribble_sets(s))
+                       if (s, i) not in skip]
+        self._seed_rows = list(seed_rows) if seed_rows is not None else []
         self._pos = -1
         self._interaction = 0          # rounds done for current item
         self._scribbles: Optional[Scribbles] = None   # accumulated
@@ -76,6 +89,11 @@ class InteractiveSession:
         if self._awaiting_submit:
             raise RuntimeError("submit_masks() before calling next() again")
         if self._pos < 0 or self._interaction >= self.max_interactions:
+            if self._pos >= 0 and self.on_item_end is not None:
+                # the item at _pos just finished (all rounds done or
+                # stopped early) — fires exactly once per item, including
+                # the last one on the final next() that returns False
+                self.on_item_end(*self._queue[self._pos])
             self._pos += 1
             if self._pos >= len(self._queue):
                 return False
@@ -155,7 +173,8 @@ class InteractiveSession:
 
     # -- reporting ----------------------------------------------------------
     def get_report(self) -> pd.DataFrame:
-        return pd.DataFrame(self._rows, columns=REPORT_COLUMNS)
+        return pd.DataFrame(self._seed_rows + self._rows,
+                            columns=REPORT_COLUMNS)
 
     def get_global_summary(
         self, max_time: float = 240.0, at_threshold: float = 60.0

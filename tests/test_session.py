@@ -184,3 +184,45 @@ def test_synthetic_entry_frames_and_hidden_spans():
     # occluded frames show background texture where the object was
     imgs = ds.images(ds.sequences()[0])
     assert not np.array_equal(imgs[2], imgs[3])
+
+
+def test_session_resume_hooks():
+    """skip_items / seed_rows / on_item_end — the resume contract:
+    on_item_end fires exactly once per finished item (including the last
+    one), and a session resumed from a partial report reproduces the
+    full run's report and summary exactly."""
+    ds = SyntheticDataset(num_sequences=2, scribble_sets=2, num_frames=3)
+    model = OracleModel(ds)
+
+    def drive(session):
+        rounds = {}
+        with session as sess:
+            while sess.next():
+                seq, _, _ = sess.get_scribbles(only_last=True)
+                r = rounds.get(sess.current, 0)
+                sess.submit_masks(model.predict(seq, r))
+                rounds[sess.current] = r + 1
+        return session
+
+    done = []
+    full = drive(InteractiveSession(ds, max_interactions=3,
+                                    time_fn=_fake_clock(),
+                                    on_item_end=lambda s, i: done.append((s, i))))
+    all_items = [(s, i) for s in ds.sequences() for i in range(2)]
+    assert done == all_items                    # once per item, in order
+    full_report = full.get_report()
+
+    # "interrupted" state: the first two items completed
+    completed = set(all_items[:2])
+    seed = full_report[full_report.apply(
+        lambda r: (r["sequence"], r["scribble_idx"]) in completed,
+        axis=1)].to_dict("records")
+    resumed = drive(InteractiveSession(ds, max_interactions=3,
+                                       time_fn=_fake_clock(),
+                                       skip_items=completed,
+                                       seed_rows=seed))
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        resumed.get_report().reset_index(drop=True),
+        full_report.reset_index(drop=True))
+    assert resumed.get_global_summary() == full.get_global_summary()
