@@ -21,12 +21,13 @@ import numpy as np
 
 
 def build_evaluator(cfg, checkpoint: str | None = None,
-                    context_parallel: int = 1):
+                    context_parallel: int = 1,
+                    matching_backend: str = "auto"):
     from cvpr2020_manet_tpu.engine.evaluator import Evaluator
     from cvpr2020_manet_tpu.models import MANet
     from cvpr2020_manet_tpu.utils.checkpoint import load_release
 
-    model = MANet(cfg.model, matching_backend="auto")
+    model = MANet(cfg.model, matching_backend=matching_backend)
     h, w = cfg.eval.image_size
     hp = h + (-h) % cfg.eval.pad_to
     wp = w + (-w) % cfg.eval.pad_to
@@ -67,6 +68,9 @@ def main(argv=None):
     p.add_argument("--checkpoint", default=None,
                    help="orbax release export dir (utils/checkpoint.py)")
     p.add_argument("--report", default=None, help="CSV path for the report")
+    p.add_argument("--matching_int8", action="store_true",
+                   help="int8-quantized global matching (MXU double-rate "
+                        "serving mode; quality cost in docs/QUALITY.md)")
     p.add_argument("--resume", action="store_true",
                    help="resume an interrupted run from --report: the "
                         "report is checkpointed after EVERY completed "
@@ -113,8 +117,13 @@ def main(argv=None):
         davis_root=args.davis_root)
     ds = DavisEvalDataset(args.davis_root, subset=args.subset,
                           scribble_sets=args.scribble_sets)
-    evaluator = build_evaluator(cfg, args.checkpoint,
-                                context_parallel=args.context_parallel)
+    if args.matching_int8 and args.context_parallel > 1:
+        raise SystemExit("--matching_int8 is single-chip serving mode; "
+                         "the context-parallel path shards f32 matching "
+                         "(parallel/cp_matching.py) — drop one flag")
+    evaluator = build_evaluator(
+        cfg, args.checkpoint, context_parallel=args.context_parallel,
+        matching_backend="pallas_int8" if args.matching_int8 else "auto")
     if args.host:
         if args.resume:
             raise SystemExit("--resume needs a local session (the remote "

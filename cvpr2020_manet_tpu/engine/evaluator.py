@@ -237,8 +237,13 @@ class Evaluator:
         # (ops/matching_pallas.prepare_ref), stream the kernel per frame.
         # "pallas_interpret" runs the same code path through the Pallas
         # interpreter (CPU-runnable parity tests of the production branch).
+        # "pallas_int8" quantizes the global-matching cross term to int8
+        # (MXU double-rate path — opt-in serving mode, measured quality
+        # cost in docs/QUALITY.md); "pallas_int8_interpret" is its
+        # CPU-runnable parity variant.
         self.use_pallas = backend.startswith("pallas")
-        self._interpret = backend == "pallas_interpret"
+        self._interpret = backend.endswith("_interpret")
+        self._int8 = "int8" in backend
         # "min_fused" (MANet semantics: per-frame elementwise-min memory,
         # SURVEY.md C8) or "stacked" (literal attention over ALL stored
         # rounds' annotated pixels — BASELINE config 3/5).
@@ -273,6 +278,24 @@ class Evaluator:
         # report per-bucket latency (DAVIS val spans the 32/64/104 frame
         # buckets; a global p50 hides the long-sequence cost)
         self.round_records: list[tuple[int, int, float]] = []
+
+    # ---------------- matching backend ops ----------------------------- #
+
+    def _prepare_ref(self, ref_emb, ref_onehot):
+        """Bucket the round's reference pixels for the selected Pallas
+        backend (f32 or int8-quantized)."""
+        from cvpr2020_manet_tpu.ops.matching_pallas import (
+            prepare_ref, prepare_ref_int8)
+        fn = prepare_ref_int8 if self._int8 else prepare_ref
+        return fn(ref_emb, ref_onehot)
+
+    def _match_prepared(self, query_flat, bucketed):
+        """Stream the matching kernel of the selected Pallas backend."""
+        from cvpr2020_manet_tpu.ops.matching_pallas import (
+            global_matching_prepared, global_matching_prepared_int8)
+        fn = (global_matching_prepared_int8 if self._int8
+              else global_matching_prepared)
+        return fn(query_flat, bucketed, interpret=self._interpret)
 
     # ---------------- jitted graphs ----------------------------------- #
 
@@ -399,13 +422,10 @@ class Evaluator:
             # global matching is carry-independent: ALL frames go through
             # the Pallas kernel in ONE batched call (better pipelining
             # than t-1 small launches inside the scan)
-            from cvpr2020_manet_tpu.ops.matching_pallas import (
-                global_matching_prepared, prepare_ref)
-            bucketed = prepare_ref(ref_emb, ref_onehot)
+            bucketed = self._prepare_ref(ref_emb, ref_onehot)
             ce = emb.shape[-1]
-            gm_pre = global_matching_prepared(
-                emb_ordered.reshape(-1, ce), bucketed,
-                interpret=self._interpret
+            gm_pre = self._match_prepared(
+                emb_ordered.reshape(-1, ce), bucketed
             ).reshape(t - 1, h, w, o)
 
         # decomposed head stage 1 (models/manet.py): round-constant conv0
@@ -506,8 +526,7 @@ class Evaluator:
         if self.use_pallas and self.cp_mesh is None:
             # CP mode does not pre-bucket: each shard buckets its own rows
             # inside global_matching_pallas per sweep call
-            from cvpr2020_manet_tpu.ops.matching_pallas import prepare_ref
-            out["bucketed"] = prepare_ref(ref_emb, ref_onehot)
+            out["bucketed"] = self._prepare_ref(ref_emb, ref_onehot)
         if self.memory_mode == "stacked":
             out["mem_emb"], out["mem_onehot"] = mem_emb, mem_onehot
         return out
@@ -544,12 +563,9 @@ class Evaluator:
                 emb_ordered.reshape(-1, ce), ref_emb, ref_onehot,
                 self.cp_mesh, self._cp_backend).reshape(count, h, w, o)
         elif self.use_pallas:
-            from cvpr2020_manet_tpu.ops.matching_pallas import (
-                global_matching_prepared)
             ce = emb.shape[-1]
-            gm_pre = global_matching_prepared(
-                emb_ordered.reshape(-1, ce), bucketed,
-                interpret=self._interpret
+            gm_pre = self._match_prepared(
+                emb_ordered.reshape(-1, ce), bucketed
             ).reshape(count, h, w, o)
 
         def step(c, xs):

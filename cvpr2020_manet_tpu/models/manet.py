@@ -258,7 +258,15 @@ class MANet(nn.Module):
     def _global_matching(self, query, ref_emb, ref_onehot, ref_valid):
         backend = self._backend()
         if backend.startswith("pallas"):
-            interp = backend == "pallas_interpret"
+            interp = backend.endswith("_interpret")
+            if "int8" in backend and not self.trainable_matching:
+                # opt-in serving mode: int8 cross term on the MXU's
+                # double-rate path (ops/matching_pallas.py); training
+                # (trainable_matching) always stays full precision
+                from cvpr2020_manet_tpu.ops.matching_pallas import (
+                    global_matching_pallas_int8)
+                return global_matching_pallas_int8(
+                    query, ref_emb, ref_onehot, ref_valid, interpret=interp)
             if self.trainable_matching and not interp:
                 from cvpr2020_manet_tpu.ops.matching_pallas import (
                     global_matching_trainable)
@@ -273,9 +281,11 @@ class MANet(nn.Module):
         return M.global_matching(query, ref_emb, ref_onehot, ref_valid)
 
     def _local_matching(self, query, prev, prev_onehot):
+        # local matching stays full-precision under the int8 backend: it
+        # is <1% of round device time (docs/BENCHMARKS.md stage table)
         backend = self._backend()
         if backend.startswith("pallas"):
-            interp = backend == "pallas_interpret"
+            interp = backend.endswith("_interpret")
             if self.trainable_matching and not interp:
                 from cvpr2020_manet_tpu.ops.local_matching_pallas import (
                     local_matching_trainable)

@@ -78,22 +78,44 @@ class BucketedRef(NamedTuple):
         return cls(*children, aux)
 
 
-def prepare_ref(
-    ref: jax.Array,         # (Nk, C)
-    ref_onehot: jax.Array,  # (Nk, O) {0,1}
-    ref_valid: jax.Array | None = None,  # (Nk,)
-    *,
-    block_k: int = DEFAULT_TK,
-) -> BucketedRef:
-    """Sort reference pixels by object into TK-aligned buckets (jittable).
+@jax.tree_util.register_pytree_node_class
+class BucketedRefInt8(NamedTuple):
+    """Int8-quantized bucketed reference (opt-in serving mode).
 
-    Run once per interaction round; its cost is amortized over every
-    propagated frame of the sweep.
+    Same layout as `BucketedRef`, but pixels are symmetric int8
+    (`k = scale * pixels`) so the kernel's cross term runs on the MXU's
+    int8 path (2x the bf16 peak on v5e); `sqnorm` already carries the
+    scale^2 so distances come out in the ORIGINAL embedding space:
+    d = |s_q*q_hat|^2 + |s_k*k_hat|^2 - 2*s_q*s_k*(q_hat . k_hat)
+    — exactly the f32 distance between the quantized vectors, hence
+    always >= 0 and exactly reproducible by the jnp oracle on the
+    dequantized embeddings (pinned in tests/test_pallas_matching.py).
     """
-    nk, c = ref.shape
-    o = ref_onehot.shape[1]
+    pixels: jax.Array      # (NKB * TK, C) int8, object-contiguous
+    sqnorm: jax.Array      # (NKB, TK) f32 = scale^2*|k_hat|^2 (1e8 on pads)
+    block_obj: jax.Array   # (NKB,) int32
+    src_idx: jax.Array     # (NKB * TK,) int32 (-1 = pad)
+    scale: jax.Array       # () f32 symmetric quantization scale
+    num_objects: int       # static
+
+    def tree_flatten(self):
+        return ((self.pixels, self.sqnorm, self.block_obj, self.src_idx,
+                 self.scale), self.num_objects)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux)
+
+
+def _bucket_layout(ref_onehot: jax.Array, ref_valid: jax.Array | None,
+                   block_k: int):
+    """Shared per-object bucketing of reference pixels (jittable).
+
+    Returns (src_idx (NKB*TK,) int32 with -1 on padding rows,
+    block_obj (NKB,) int32 with the o_pad sentinel on slack blocks,
+    nkb, o, o_pad)."""
+    nk, o = ref_onehot.shape
     o_pad = _round_up(o, 8)
-    c_pad = _round_up(c, 128)
     nkb = _round_up(nk, block_k) // block_k + o_pad   # static upper bound
 
     gate = ref_onehot.astype(jnp.float32)
@@ -125,6 +147,32 @@ def prepare_ref(
     # on TPU, and the Nk-long int cumsum loses to the bitonic argsort.
     src_idx = jnp.full((nkb * block_k,), -1, jnp.int32)
     src_idx = src_idx.at[dest].set(order.astype(jnp.int32), mode="drop")
+
+    blk = jnp.arange(nkb, dtype=jnp.int32)
+    total_blocks = jnp.sum(blk_per_obj)
+    block_obj = jnp.searchsorted(start_blk, blk, side="right").astype(
+        jnp.int32) - 1
+    block_obj = jnp.where(blk < total_blocks, block_obj, o_pad)  # unused
+    return src_idx, block_obj, nkb, o, o_pad
+
+
+def prepare_ref(
+    ref: jax.Array,         # (Nk, C)
+    ref_onehot: jax.Array,  # (Nk, O) {0,1}
+    ref_valid: jax.Array | None = None,  # (Nk,)
+    *,
+    block_k: int = DEFAULT_TK,
+) -> BucketedRef:
+    """Sort reference pixels by object into TK-aligned buckets (jittable).
+
+    Run once per interaction round; its cost is amortized over every
+    propagated frame of the sweep.
+    """
+    nk, c = ref.shape
+    c_pad = _round_up(c, 128)
+    src_idx, block_obj, nkb, o, _ = _bucket_layout(
+        ref_onehot, ref_valid, block_k)
+
     ref_pad = jnp.pad(ref, ((0, 0), (0, c_pad - c)))
     filled = src_idx >= 0
     gather = jnp.clip(src_idx, 0, nk - 1)
@@ -133,15 +181,62 @@ def prepare_ref(
     kn_rows = jnp.sum(jnp.square(ref_pad.astype(jnp.float32)), axis=-1)
     sqnorm = jnp.where(filled, kn_rows[gather],
                        WRONG_LABEL_PADDING_DISTANCE)
-
-    blk = jnp.arange(nkb, dtype=jnp.int32)
-    total_blocks = jnp.sum(blk_per_obj)
-    block_obj = jnp.searchsorted(start_blk, blk, side="right").astype(
-        jnp.int32) - 1
-    block_obj = jnp.where(blk < total_blocks, block_obj, o_pad)  # unused
     return BucketedRef(neg2pixels=neg2,
                        sqnorm=sqnorm.reshape(nkb, block_k),
                        block_obj=block_obj, src_idx=src_idx, num_objects=o)
+
+
+def quantize_symmetric_int8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Symmetric per-tensor int8 quantization: x ~= scale * x_hat."""
+    scale = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))),
+                        1e-6) / 127.0
+    x_hat = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                     -127.0, 127.0).astype(jnp.int8)
+    return x_hat, scale
+
+
+def quantize_rows_int8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Symmetric per-ROW int8 quantization: x[i] ~= scales[i] * x_hat[i].
+
+    Used for the query side: each pixel's quantization depends only on
+    its own embedding, so results are independent of how a sweep is
+    batched into kernel calls (the segmented round's bitwise-parity
+    contract, tests/test_evaluator.py) — and row-local scales are
+    tighter than one tensor-wide scale."""
+    x32 = x.astype(jnp.float32)
+    scales = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1), 1e-6) / 127.0
+    x_hat = jnp.clip(jnp.round(x32 / scales[:, None]),
+                     -127.0, 127.0).astype(jnp.int8)
+    return x_hat, scales
+
+
+def prepare_ref_int8(
+    ref: jax.Array,
+    ref_onehot: jax.Array,
+    ref_valid: jax.Array | None = None,
+    *,
+    block_k: int = DEFAULT_TK,
+) -> BucketedRefInt8:
+    """Int8 variant of `prepare_ref` (symmetric per-tensor scale)."""
+    nk, c = ref.shape
+    c_pad = _round_up(c, 128)
+    src_idx, block_obj, nkb, o, _ = _bucket_layout(
+        ref_onehot, ref_valid, block_k)
+
+    k_hat, scale = quantize_symmetric_int8(ref)
+    k_pad = jnp.pad(k_hat, ((0, 0), (0, c_pad - c)))
+    filled = src_idx >= 0
+    gather = jnp.clip(src_idx, 0, nk - 1)
+    pixels = jnp.where(filled[:, None], k_pad[gather],
+                       jnp.zeros((), jnp.int8))
+    kn_rows = jnp.sum(jnp.square(k_pad.astype(jnp.float32)),
+                      axis=-1) * (scale * scale)
+    sqnorm = jnp.where(filled, kn_rows[gather],
+                       WRONG_LABEL_PADDING_DISTANCE)
+    return BucketedRefInt8(pixels=pixels,
+                           sqnorm=sqnorm.reshape(nkb, block_k),
+                           block_obj=block_obj, src_idx=src_idx,
+                           scale=scale, num_objects=o)
 
 
 def _row_min(e: jax.Array, two_stage: bool) -> jax.Array:
@@ -255,6 +350,134 @@ def global_matching_prepared(
         interpret=interpret,
     )(bucketed.block_obj, query, bucketed.neg2pixels, bucketed.sqnorm)
     return out[:nq, :o]
+
+
+def _matching_kernel_int8(block_obj_ref, q_ref, k_ref, kn_ref, sc_ref,
+                          out_ref, acc_ref):
+    """Int8 cross-term variant of `_matching_kernel`.
+
+    q_ref/k_ref are symmetric int8; the dot runs on the MXU's int8 path
+    with int32 accumulation (2x the bf16 peak on v5e). The query is
+    quantized PER ROW (batch-independent — segment-parity contract);
+    sc_ref carries per-row [-2*s_q[i]*s_k, s_q[i]^2] and kn_ref already
+    carries s_k^2, so the assembled distance is the exact f32 distance
+    between the quantized vectors (always >= 0)."""
+    j = pl.program_id(1)
+    nkb = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.full_like(acc_ref, WRONG_LABEL_PADDING_DISTANCE)
+
+    obj = block_obj_ref[j]
+
+    @pl.when(obj < acc_ref.shape[0])
+    def _compute():
+        cross = jax.lax.dot_general(
+            q_ref[:], k_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        e = (cross.astype(jnp.float32) * sc_ref[:, 0:1]
+             + kn_ref[j, :][None, :])
+        dmin = jnp.min(e, axis=1)                   # (TQ,)
+
+        row = jax.lax.broadcasted_iota(jnp.int32, acc_ref.shape, 0)
+        upd = jnp.where(row == obj, dmin[None, :],
+                        WRONG_LABEL_PADDING_DISTANCE)
+        acc_ref[:] = jnp.minimum(acc_ref[:], upd)
+
+    @pl.when(j == nkb - 1)
+    def _finalize():
+        q = q_ref[:].astype(jnp.float32)
+        qn = jnp.sum(jnp.square(q), axis=-1) * sc_ref[:, 1]  # (TQ,)
+        d = jnp.maximum(acc_ref[:] + qn[None, :], 0.0)
+        d = jnp.minimum(d, WRONG_LABEL_PADDING_DISTANCE)
+        norm = 1.0 - 2.0 / (1.0 + jnp.exp(jnp.minimum(d, 30.0)))
+        out_ref[:] = norm.T
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def global_matching_prepared_int8(
+    query: jax.Array,       # (Nq, C) float
+    bucketed: BucketedRefInt8,
+    *,
+    block_q: int = DEFAULT_TQ,
+    block_k: int = DEFAULT_TK,
+    interpret: bool = False,
+) -> jax.Array:
+    """Matching against an int8-bucketed reference. -> (Nq, O) f32.
+
+    The query is quantized here (symmetric PER ROW — see
+    quantize_rows_int8); output is in the same normalized-distance space
+    as the f32 kernel, up to int8 quantization of the embeddings
+    (quality cost measured in docs/BENCHMARKS.md / docs/QUALITY.md)."""
+    nq, c = query.shape
+    c_pad = bucketed.pixels.shape[1]
+    assert c <= c_pad
+    nkb = bucketed.block_obj.shape[0]
+    o = bucketed.num_objects
+    o_pad = _round_up(o, 8)
+    block_q = min(block_q, _round_up(nq, 8))
+    nq_pad = _round_up(nq, block_q)
+
+    q_hat, s_q = quantize_rows_int8(query)
+    q_hat = jnp.pad(q_hat, ((0, nq_pad - nq), (0, c_pad - c)))
+    s_q = jnp.pad(s_q, (0, nq_pad - nq))
+    scales = jnp.stack([-2.0 * s_q * bucketed.scale, s_q * s_q], axis=-1)
+
+    grid = (nq_pad // block_q, nkb)
+    out = pl.pallas_call(
+        _matching_kernel_int8,
+        out_shape=jax.ShapeDtypeStruct((nq_pad, o_pad), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_q, c_pad), lambda i, j, bo: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_k, c_pad), lambda i, j, bo: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nkb, block_k), lambda i, j, bo: (0, 0),
+                             memory_space=pltpu.VMEM),
+                # per-row assembly scales [-2*s_q*s_k, s_q^2]
+                pl.BlockSpec((block_q, 2), lambda i, j, bo: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((block_q, o_pad), lambda i, j, bo: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((o_pad, block_q), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nq_pad * nkb * block_k * c_pad,
+            bytes_accessed=(nq_pad * c_pad + nkb * block_k * c_pad
+                            + nq_pad * o_pad * 4),
+            transcendentals=nq_pad * o_pad,
+        ),
+        interpret=interpret,
+    )(bucketed.block_obj, q_hat, bucketed.pixels, bucketed.sqnorm, scales)
+    return out[:nq, :o]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def global_matching_pallas_int8(
+    query: jax.Array,
+    ref: jax.Array,
+    ref_onehot: jax.Array,
+    ref_valid: jax.Array | None = None,
+    *,
+    block_q: int = DEFAULT_TQ,
+    block_k: int = DEFAULT_TK,
+    interpret: bool = False,
+) -> jax.Array:
+    """Int8 drop-in for `global_matching_pallas` (opt-in serving mode)."""
+    bucketed = prepare_ref_int8(ref, ref_onehot, ref_valid, block_k=block_k)
+    return global_matching_prepared_int8(
+        query, bucketed, block_q=block_q, block_k=block_k,
+        interpret=interpret)
 
 
 def _matching_kernel_argmin(block_obj_ref, q_ref, k2_ref, kn_ref,

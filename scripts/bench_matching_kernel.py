@@ -44,6 +44,9 @@ def main(argv=None):
                         "(correctness of the harness, not a benchmark)")
     p.add_argument("--two_stage_min", action="store_true",
                    help="global kernel: two-stage row-min variant")
+    p.add_argument("--int8", action="store_true",
+                   help="global kernel: int8-quantized cross term "
+                        "(v5e int8 MXU peak is 2x bf16)")
     args = p.parse_args(argv)
 
     import jax
@@ -80,25 +83,29 @@ def main(argv=None):
         label = f"local_matching h{h} w{w} C{args.channels}"
     else:
         from cvpr2020_manet_tpu.ops.matching_pallas import (
-            DEFAULT_TK, DEFAULT_TQ, global_matching_prepared, prepare_ref)
+            DEFAULT_TK, DEFAULT_TQ, global_matching_prepared,
+            global_matching_prepared_int8, prepare_ref, prepare_ref_int8)
         tq = args.tq or DEFAULT_TQ
         tk = args.tk or DEFAULT_TK
         q = jnp.asarray(rng.standard_normal((args.nq, args.channels)),
-                        jnp.bfloat16)
+                        jnp.float32 if args.int8 else jnp.bfloat16)
         ref = jnp.asarray(rng.standard_normal((args.nk, args.channels)),
-                          jnp.bfloat16)
+                          jnp.float32 if args.int8 else jnp.bfloat16)
         labels = rng.integers(0, args.objects, (args.nk,))
         onehot = jnp.asarray(np.eye(args.objects)[labels], jnp.float32)
+        prep = prepare_ref_int8 if args.int8 else prepare_ref
+        match = (global_matching_prepared_int8 if args.int8
+                 else global_matching_prepared)
         bucketed = jax.jit(
-            lambda r, o: prepare_ref(r, o, block_k=tk))(ref, onehot)
-        jax.block_until_ready(bucketed.neg2pixels)
+            lambda r, o: prep(r, o, block_k=tk))(ref, onehot)
+        jax.block_until_ready(bucketed.block_obj)
         nkb = bucketed.block_obj.shape[0]
 
         def body(carry, _):
-            out = global_matching_prepared(carry, bucketed, block_q=tq,
-                                           block_k=tk,
-                                           interpret=args.interpret,
-                                           two_stage_min=args.two_stage_min)
+            kw = {} if args.int8 else dict(
+                two_stage_min=args.two_stage_min)
+            out = match(carry, bucketed, block_q=tq, block_k=tk,
+                        interpret=args.interpret, **kw)
             return carry + (0.0 * out[:, :1]).astype(carry.dtype), out
 
         @jax.jit
@@ -107,7 +114,8 @@ def main(argv=None):
             return jnp.sum(outs[-1])
 
         flops_it = 2.0 * args.nq * nkb * tk * args.channels
-        label = (f"global_matching nq{args.nq} nk{args.nk} "
+        label = (f"global_matching{'_int8' if args.int8 else ''} "
+                 f"nq{args.nq} nk{args.nk} "
                  f"o{args.objects} TQ{tq} TK{tk} (nkb={nkb})")
 
     # compile + warm

@@ -148,6 +148,8 @@ def test_round_masks_shape_and_labels(eval_setup):
     # _sweep_impl global_matching_prepared), via the Pallas interpreter
     ("min_fused", "pallas_interpret"),
     ("stacked", "pallas_interpret"),
+    # int8 serving mode through the same segmented/monolithic contract
+    ("min_fused", "pallas_int8_interpret"),
 ])
 def test_segmented_round_matches_monolithic(memory_mode, backend):
     """cfg.eval.round_segments pipelines downloads against compute; the
@@ -389,3 +391,35 @@ def test_reset_rounds_matches_fresh_state(eval_setup):
     st3 = ev.start_sequence(images, n)
     m_fresh = ev.run_round(st3, scr, hw, n)
     np.testing.assert_array_equal(m_reset, m_fresh)
+
+
+def test_int8_backend_tracks_f32(eval_setup):
+    """The int8-quantized matching backend (opt-in serving mode) must
+    produce near-identical label maps to the f32 Pallas path on the
+    synthetic task — quantizing the cross term perturbs distances by
+    O(scale), not the argmax structure."""
+    import dataclasses
+
+    import jax
+
+    from cvpr2020_manet_tpu.models import MANet
+
+    cfg, ds, model, variables = eval_setup
+    seq = ds.sequences()[0]
+    gt = ds.gt_masks(seq)
+    scr = ds.initial_scribbles(seq, 0).to_json()
+
+    masks = {}
+    for backend in ("pallas_interpret", "pallas_int8_interpret"):
+        m = MANet(cfg.model, matching_backend=backend)
+        ev = Evaluator(cfg, m, variables)
+        st = ev.start_sequence(ds.images(seq), ds.num_objects(seq))
+        m1 = ev.run_round(st, scr, gt.shape[1:], ds.num_objects(seq))
+        m2 = ev.run_round(st, scr, gt.shape[1:], ds.num_objects(seq))
+        masks[backend] = m2
+    agree = np.mean(masks["pallas_interpret"]
+                    == masks["pallas_int8_interpret"])
+    # random-init model: logits sit near chance, so label flips from the
+    # quantization perturbation are expected at the margins; a trained
+    # model's cost is the quality-study number (docs/QUALITY.md)
+    assert agree > 0.97, f"int8/f32 label agreement {agree:.4f}"
