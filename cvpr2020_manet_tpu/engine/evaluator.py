@@ -255,6 +255,13 @@ class Evaluator:
         # all-gather-min over ICI (parallel/cp_matching.py). Pairs with
         # matching_memory="stacked", where memory rows grow with rounds.
         self.cp_mesh = cp_mesh
+        if self._int8 and cp_mesh is not None:
+            # cp_matching has no int8 fold; a programmatic Evaluator must
+            # hit the same wall the eval_davis CLI guard enforces, not
+            # silently run f32 context-parallel matching.
+            raise ValueError(
+                "matching_backend 'pallas_int8' does not compose with "
+                "context-parallel eval (cp_mesh); use the f32 backend")
         from cvpr2020_manet_tpu.parallel.cp_matching import cp_backend
         self._cp_backend = cp_backend(self.use_pallas, self._interpret)
         self._extract = jax.jit(self._extract_impl)

@@ -32,19 +32,26 @@ from cvpr2020_manet_tpu.interactive.scribbles import Scribbles
 
 @dataclasses.dataclass(frozen=True)
 class RobotParams:
+    """Defaults match the upstream `InteractiveScribblesRobot` signature
+    (kernel_size=0.15, max_kernel_radius=16, min_nb_nodes=4,
+    nb_points=1000) so that the benchmark of record uses the same
+    scribble geometry upstream's default robot would produce — the
+    round-4 review flagged that uncapped erosion on large error regions
+    retreats the spine further inside than upstream's robot. Pass
+    `max_kernel_radius=None` / `max_path_points=None` explicitly for the
+    uncapped geometry (docs/PARITY.md §robot)."""
     kernel_size: float = 0.15      # erosion kernel, relative to region size
     # Cap on the EDT shrink radius in pixels (upstream davisinteractive
-    # `max_kernel_radius`); None = uncapped. Without it a very large error
-    # region erodes proportionally to sqrt(area) and the spine retreats
-    # further inside than upstream's robot would.
-    max_kernel_radius: float | None = None
+    # `max_kernel_radius`, default 16); None = uncapped.
+    max_kernel_radius: float | None = 16.0
     min_region_pixels: int = 10    # ignore smaller error regions
-    min_path_nodes: int = 3        # drop degenerate scribbles
+    min_path_nodes: int = 4        # drop degenerate scribbles (upstream
+    #                                `min_nb_nodes`, default 4)
     sample_every: int = 4          # polyline subsampling stride (pixels)
     # Upper bound on emitted polyline nodes per scribble (upstream
-    # davisinteractive `nb_points`); None = unbounded. Long spines are
-    # re-subsampled uniformly (endpoints kept) to fit.
-    max_path_points: int | None = None
+    # davisinteractive `nb_points`, default 1000); None = unbounded. Long
+    # spines are re-subsampled uniformly (endpoints kept) to fit.
+    max_path_points: int | None = 1000
     max_objects_per_round: int = 4 # scribble at most this many objects
 
 

@@ -186,12 +186,19 @@ def prepare_ref(
                        block_obj=block_obj, src_idx=src_idx, num_objects=o)
 
 
-def quantize_symmetric_int8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Symmetric per-tensor int8 quantization: x ~= scale * x_hat."""
-    scale = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))),
-                        1e-6) / 127.0
-    x_hat = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
-                     -127.0, 127.0).astype(jnp.int8)
+def quantize_symmetric_int8(
+        x: jax.Array,
+        row_mask: jax.Array | None = None) -> tuple[jax.Array, jax.Array]:
+    """Symmetric per-tensor int8 quantization: x ~= scale * x_hat.
+
+    `row_mask` (bool, shape (rows,)) restricts the scale statistic to the
+    marked rows — rows outside the mask are still quantized (and may
+    saturate at ±127), but cannot inflate the scale."""
+    x32 = x.astype(jnp.float32)
+    stat = x32 if row_mask is None else jnp.where(
+        row_mask.astype(bool)[:, None], x32, 0.0)
+    scale = jnp.maximum(jnp.max(jnp.abs(stat)), 1e-6) / 127.0
+    x_hat = jnp.clip(jnp.round(x32 / scale), -127.0, 127.0).astype(jnp.int8)
     return x_hat, scale
 
 
@@ -217,13 +224,23 @@ def prepare_ref_int8(
     *,
     block_k: int = DEFAULT_TK,
 ) -> BucketedRefInt8:
-    """Int8 variant of `prepare_ref` (symmetric per-tensor scale)."""
+    """Int8 variant of `prepare_ref` (symmetric per-tensor scale).
+
+    The scale is computed over the rows that actually enter a bucket
+    (labelled and, when `ref_valid` is given, valid): one out-of-
+    distribution gated-out pixel must not inflate the scale and coarsen
+    quantization of every real key (round-4 advisor finding). Gated-out
+    rows are still quantized with that scale — they never reach the
+    kernel (the gather below only reads bucketed rows)."""
     nk, c = ref.shape
     c_pad = _round_up(c, 128)
     src_idx, block_obj, nkb, o, _ = _bucket_layout(
         ref_onehot, ref_valid, block_k)
 
-    k_hat, scale = quantize_symmetric_int8(ref)
+    used = ref_onehot.astype(bool).any(axis=-1)
+    if ref_valid is not None:
+        used = used & ref_valid.astype(bool)
+    k_hat, scale = quantize_symmetric_int8(ref, row_mask=used)
     k_pad = jnp.pad(k_hat, ((0, 0), (0, c_pad - c)))
     filled = src_idx >= 0
     gather = jnp.clip(src_idx, 0, nk - 1)

@@ -48,6 +48,10 @@ def main(argv=None):
                    help="global kernel: int8-quantized cross term "
                         "(v5e int8 MXU peak is 2x bf16)")
     args = p.parse_args(argv)
+    if args.int8 and args.two_stage_min:
+        raise SystemExit(
+            "--int8 has no two-stage row-min variant; drop one flag "
+            "(refusing to silently bench a configuration that never ran)")
 
     import jax
     if args.interpret:

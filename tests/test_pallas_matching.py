@@ -107,7 +107,11 @@ def test_int8_kernel_exact_on_dequantized(rng, nq, nk, c, o):
     valid = (rng.random(nk) > 0.3).astype(np.float32)
 
     q_hat, s_q = quantize_rows_int8(jnp.array(q))
-    k_hat, s_k = quantize_symmetric_int8(jnp.array(k))
+    # the production path scopes the key scale to rows that enter a
+    # bucket (labelled & valid) — replicate so dequantization matches
+    used = (onehot.sum(-1) > 0) & (valid > 0)
+    k_hat, s_k = quantize_symmetric_int8(jnp.array(k),
+                                         row_mask=jnp.array(used))
     q_deq = np.asarray(q_hat, np.float32) * np.asarray(s_q)[:, None]
     k_deq = np.asarray(k_hat, np.float32) * float(s_k)
     want = np.asarray(global_matching(

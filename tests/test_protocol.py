@@ -165,9 +165,12 @@ def test_robot_max_kernel_radius_caps_shrink():
     tri = ((xx >= 40) & (yy <= 259)
            & (yy - 40 >= (259 - 40) / (319 - 40) * (319 - xx)))
     big[tri] = 1
+    # the 16-px cap is now the FRAMEWORK DEFAULT (round-5 reconciliation
+    # with upstream's signature); uncapped geometry is the explicit opt-out
     capped = InteractiveScribblesRobot(dataclasses.replace(
         RobotParams(), max_kernel_radius=16.0))
-    uncapped = InteractiveScribblesRobot()
+    uncapped = InteractiveScribblesRobot(dataclasses.replace(
+        RobotParams(), max_kernel_radius=None))
     for impl in ("native", "fallback"):
         if impl == "native":
             from cvpr2020_manet_tpu import native
