@@ -69,8 +69,10 @@ def main(argv=None):
                    help="orbax release export dir (utils/checkpoint.py)")
     p.add_argument("--report", default=None, help="CSV path for the report")
     p.add_argument("--matching_int8", action="store_true",
-                   help="int8-quantized global matching (MXU double-rate "
-                        "serving mode; quality cost in docs/QUALITY.md)")
+                   help="int8-quantized global matching (serving mode; "
+                        "measured 1.28x matching-kernel speedup — "
+                        "docs/BENCHMARKS.md round-5 int8 section, quality "
+                        "cost in docs/QUALITY.md)")
     p.add_argument("--resume", action="store_true",
                    help="resume an interrupted run from --report: the "
                         "report is checkpointed after EVERY completed "

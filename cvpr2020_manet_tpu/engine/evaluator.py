@@ -238,7 +238,8 @@ class Evaluator:
         # "pallas_interpret" runs the same code path through the Pallas
         # interpreter (CPU-runnable parity tests of the production branch).
         # "pallas_int8" quantizes the global-matching cross term to int8
-        # (MXU double-rate path — opt-in serving mode, measured quality
+        # (opt-in serving mode; measured 1.28x kernel / ~+8% device-path
+        # projection — docs/BENCHMARKS.md round-5 int8 section, quality
         # cost in docs/QUALITY.md); "pallas_int8_interpret" is its
         # CPU-runnable parity variant.
         self.use_pallas = backend.startswith("pallas")

@@ -339,6 +339,12 @@ def main(argv=None):
     p.add_argument("--ingest", choices=["rgb", "yuv420"], default="rgb",
                    help="frame upload format: yuv420 halves the bytes "
                         "(device-side colorspace inverse; utils/ingest.py)")
+    p.add_argument("--matching_int8", action="store_true",
+                   help="int8-quantized global matching (serving mode; "
+                        "measured 1.28x matching-kernel speedup — "
+                        "docs/BENCHMARKS.md round-5 int8 section). The "
+                        "batch path routes matching through the model's "
+                        "backend switch, so the flag is pure plumbing")
     p.add_argument("--tiny", action="store_true")
     args = p.parse_args(argv)
 
@@ -363,7 +369,8 @@ def main(argv=None):
         ds = YTVOSDataset(args.data_root)
 
     from cvpr2020_manet_tpu.models import MANet
-    model = MANet(cfg.model, matching_backend="auto")
+    model = MANet(cfg.model, matching_backend=(
+        "pallas_int8" if args.matching_int8 else "auto"))
     o = cfg.model.max_objects + 1
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, h_img, w_img, 3)),

@@ -68,6 +68,14 @@ class StreamingIVOS:
         if backend == "auto":
             backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
         self.use_pallas = backend.startswith("pallas")
+        if "int8" in backend and cp_mesh is not None:
+            # cp_matching has no int8 fold (same wall the Evaluator and
+            # the eval_davis CLI enforce) — refuse rather than silently
+            # running f32 context-parallel matching
+            raise ValueError(
+                "matching_backend 'pallas_int8' does not compose with "
+                "context-parallel streaming (cp_mesh); use the f32 "
+                "backend")
         from cvpr2020_manet_tpu.parallel.cp_matching import cp_backend
         self._cp_backend = cp_backend(self.use_pallas,
                                       backend == "pallas_interpret")

@@ -426,8 +426,15 @@ def global_matching_prepared_int8(
 
     The query is quantized here (symmetric PER ROW — see
     quantize_rows_int8); output is in the same normalized-distance space
-    as the f32 kernel, up to int8 quantization of the embeddings
-    (quality cost measured in docs/BENCHMARKS.md / docs/QUALITY.md)."""
+    as the f32 kernel, up to int8 quantization of the embeddings.
+
+    Measured on-chip (round 5, docs/BENCHMARKS.md "Int8-quantized global
+    matching"): 1.014 ms/call slope-timed at the production shape — a
+    1.28x kernel speedup over the f32 kernel's 1.294 ms (NOT the 2x MXU
+    ratio: only the cross term is int8; the VPU epilogue — per-tile min
+    fold, distance assembly, normalize — and the per-call query
+    quantization stay f32). Quality cost on the entry task:
+    docs/QUALITY.md round-5 int8 study."""
     nq, c = query.shape
     c_pad = bucketed.pixels.shape[1]
     assert c <= c_pad

@@ -77,6 +77,10 @@ def main(argv=None):
                    help="mask readback stride (config.EvalConfig): 2 "
                         "quarters the dominant mask download; this flag "
                         "measures its J&F cost at flagship 480p")
+    p.add_argument("--matching_int8", action="store_true",
+                   help="eval leg uses the int8-quantized global-matching "
+                        "backend (serving mode) — measures its quality "
+                        "cost vs the bf16 kernel on the same release")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model + tiny eval resolution (CPU logic "
@@ -118,7 +122,8 @@ def main(argv=None):
     if args.eval_release:
         from cvpr2020_manet_tpu.models import MANet
         from cvpr2020_manet_tpu.utils.checkpoint import load_release
-        model = MANet(cfg.model, matching_backend="auto")
+        model = MANet(cfg.model, matching_backend=(
+            "pallas_int8" if args.matching_int8 else "auto"))
         h, w = cfg.eval.image_size
         hp = h + (-h) % cfg.eval.pad_to
         wp = w + (-w) % cfg.eval.pad_to
@@ -175,7 +180,8 @@ def main(argv=None):
     # trainer's custom-VJP argmin variants) — same params, same masks,
     # and the round latency matches what eval_davis/bench.py ship
     from cvpr2020_manet_tpu.models import MANet
-    model = MANet(cfg.model, matching_backend="auto")
+    model = MANet(cfg.model, matching_backend=(
+        "pallas_int8" if args.matching_int8 else "auto"))
     return _eval_leg(args, cfg, model, {"params": params})
 
 

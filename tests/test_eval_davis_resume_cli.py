@@ -1,0 +1,131 @@
+"""`eval_davis --resume` end-to-end: a REAL subprocess kill -9 mid-session.
+
+VERDICT r4 #5: the session-level resume contract is pinned by
+tests/test_session.py; this test exercises the CLI half — the CSV
+read-back, the skip/seed plumbing, and the `on_item_end` atomic rewrite
+(engine/eval_davis.py) — by killing the actual CLI process between
+items and restarting it with --resume. The resumed run must (a) skip
+the items already in the CSV, (b) re-run any in-progress item from
+round 0, and (c) produce a final report whose metric rows equal an
+uninterrupted run's (timing differs by construction; the robot and
+model are deterministic, so jaccard/contour/object rows are exact).
+"""
+
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pandas as pd
+import pytest
+
+ROUNDS = 3
+SETS = 2          # x 2 sequences in the fixture tree -> 4 items
+N_ITEMS = 4
+
+METRIC_COLS = ["sequence", "scribble_idx", "interaction", "object_id",
+               "frame", "jaccard", "contour"]
+
+
+def _cli_cmd(davis_root, report, resume):
+    cmd = [sys.executable, "-m", "cvpr2020_manet_tpu.engine.eval_davis",
+           "--davis_root", davis_root, "--subset", "val",
+           "--rounds", str(ROUNDS), "--scribble_sets", str(SETS),
+           "--max_frames", "4", "--image_size", "64", "96",
+           "--tiny", "--report", report]
+    if resume:
+        cmd.append("--resume")
+    return cmd
+
+
+def _cli_env():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # share the suite's persistent compile cache so only the first
+    # subprocess pays the tiny-model cold compile
+    env.setdefault("MANET_COMPILATION_CACHE", "/tmp/jax_test_cache")
+    return env
+
+
+def _items_in_csv(report):
+    if not os.path.exists(report):
+        return set()
+    try:
+        df = pd.read_csv(report)
+    except Exception:  # mid-rename window or empty file
+        return set()
+    if len(df) == 0:
+        return set()
+    return set((str(s), int(i)) for s, i in
+               df[["sequence", "scribble_idx"]]
+               .drop_duplicates().itertuples(index=False))
+
+
+def _metric_rows(report):
+    df = pd.read_csv(report)[METRIC_COLS]
+    return (df.sort_values(METRIC_COLS).reset_index(drop=True)
+            .round(10))
+
+
+@pytest.mark.slow
+def test_resume_cli_survives_kill9(davis_root, tmp_path):
+    env = _cli_env()
+
+    # --- reference: one uninterrupted run ---
+    report_a = str(tmp_path / "report_a.csv")
+    proc = subprocess.run(_cli_cmd(davis_root, report_a, resume=False),
+                          env=env, capture_output=True, text=True,
+                          timeout=900)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rows_a = _metric_rows(report_a)
+    assert len(rows_a) > 0
+
+    # --- run B: kill -9 after the first completed item ---
+    report_b = str(tmp_path / "report_b.csv")
+    pb = subprocess.Popen(_cli_cmd(davis_root, report_b, resume=True),
+                          env=env, stdout=subprocess.DEVNULL,
+                          stderr=subprocess.PIPE, text=True)
+    deadline = time.time() + 600
+    try:
+        while time.time() < deadline:
+            done = _items_in_csv(report_b)
+            if done:
+                break
+            if pb.poll() is not None:
+                pytest.fail("CLI exited before writing any item "
+                            "checkpoint:\n" + pb.stderr.read()[-2000:])
+            time.sleep(0.02)
+        else:
+            pytest.fail("no item checkpoint appeared within the deadline")
+        # the process must still be mid-session when we kill it — the
+        # warm-cache runtime of the remaining >= 3 items dwarfs the 20 ms
+        # poll interval, so this is not racy in practice
+        assert pb.poll() is None, "CLI finished before the kill"
+        pb.send_signal(signal.SIGKILL)
+        pb.wait(timeout=60)
+    finally:
+        if pb.poll() is None:
+            pb.kill()
+            pb.wait(timeout=60)
+    killed_items = _items_in_csv(report_b)
+    assert 1 <= len(killed_items) < N_ITEMS, (
+        f"kill landed outside the mid-session window: {killed_items}")
+
+    # --- run C: restart with --resume, must skip and complete ---
+    proc = subprocess.run(_cli_cmd(davis_root, report_b, resume=True),
+                          env=env, capture_output=True, text=True,
+                          timeout=900)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert (f"resume: {len(killed_items)} completed items found"
+            in proc.stderr), proc.stderr[-2000:]
+
+    rows_b = _metric_rows(report_b)
+    # exactness: every metric row of the stitched run equals the
+    # uninterrupted run's (resume re-ran in-progress items from round 0)
+    pd.testing.assert_frame_equal(rows_a, rows_b)
+    # and the skipped items' rows came from the CSV seed, not a re-run:
+    # they are present exactly once per (item, round, object, frame)
+    counts = rows_b.groupby(
+        ["sequence", "scribble_idx", "interaction"]).size()
+    assert counts.nunique() == 1
