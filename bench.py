@@ -124,6 +124,13 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--frames", type=int, default=FRAMES)
     p.add_argument("--rounds", type=int, default=ROUNDS)
+    p.add_argument("--matching_int8", action="store_true",
+                   help="int8-quantized global matching (serving mode; "
+                        "docs/BENCHMARKS.md round-5 int8 section)")
+    p.add_argument("--mask_stride", type=int, default=1,
+                   help="mask readback stride (2 = quarter the dominant "
+                        "download; measured noise-level J&F cost at 480p "
+                        "— docs/QUALITY.md)")
     args, argv = p.parse_args(argv), list(sys.argv[1:] if argv is None
                                           else argv)
     frames, rounds = args.frames, args.rounds
@@ -147,7 +154,8 @@ def main(argv=None):
     from cvpr2020_manet_tpu.interactive.robot import InteractiveScribblesRobot
     from cvpr2020_manet_tpu.models import MANet
 
-    cfg = Config(eval=EvalConfig(max_frames=frames))
+    cfg = Config(eval=EvalConfig(max_frames=frames,
+                                 mask_stride=args.mask_stride))
     h, w = cfg.eval.image_size
     o = cfg.model.max_objects + 1
 
@@ -156,7 +164,8 @@ def main(argv=None):
     seq = ds.sequences()[0]
     gt = ds.gt_masks(seq)
 
-    model = MANet(cfg.model, matching_backend="auto")
+    model = MANet(cfg.model, matching_backend=(
+        "pallas_int8" if args.matching_int8 else "auto"))
     hh = (h + (-h) % cfg.eval.pad_to) // 4
     ww = (w + (-w) % cfg.eval.pad_to) // 4
     # jit the init: eager init dispatches thousands of ops one-by-one,
@@ -282,6 +291,11 @@ def main(argv=None):
         "device_path_vs_baseline": round(device_path_fps
                                          / REF_GPU_PROP_FPS, 2),
         "device_busy_fraction": round(dev_round / p50, 3),
+        # configuration of record (docs/BENCHMARKS.md "bench config of
+        # record"): every JSON line states what it measured
+        "matching_backend": "pallas_int8" if args.matching_int8
+                            else "pallas_bf16",
+        "mask_stride": args.mask_stride,
         **link,
     }))
 
