@@ -22,8 +22,17 @@ DEFAULT_CACHE_DIR = "/tmp/jax_tpu_cache"
 def enable_persistent_cache(min_compile_seconds: float = 5.0) -> str:
     """Point jax at the shared on-disk compilation cache. Idempotent;
     defers to a cache dir already configured by the embedding process
-    (e.g. the test suite's conftest uses its own directory)."""
+    (e.g. the test suite's conftest uses its own directory).
+
+    Also honors MANET_PLATFORM (e.g. "cpu"): the sandbox's sitecustomize
+    force-registers the remote axon TPU backend via jax.config,
+    OVERRIDING the standard JAX_PLATFORMS env var — so CLI subprocesses
+    (tests, orchestrators) need an in-process override hook to run off
+    the chip."""
     import jax
+    platform = os.environ.get("MANET_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
     current = jax.config.jax_compilation_cache_dir
     if current:
         return current

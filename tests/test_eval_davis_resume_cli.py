@@ -41,7 +41,10 @@ def _cli_cmd(davis_root, report, resume):
 
 def _cli_env():
     env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
+    # the sandbox sitecustomize overrides JAX_PLATFORMS via jax.config;
+    # MANET_PLATFORM is the CLIs' in-process hook (utils/jax_cache.py)
+    env["MANET_PLATFORM"] = "cpu"
+    env["JAX_PLATFORMS"] = "cpu"          # honored off-sandbox
     # share the suite's persistent compile cache so only the first
     # subprocess pays the tiny-model cold compile
     env.setdefault("MANET_COMPILATION_CACHE", "/tmp/jax_test_cache")
