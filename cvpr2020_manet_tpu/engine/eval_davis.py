@@ -88,6 +88,16 @@ def main(argv=None):
     p.add_argument("--matching_memory", default=None,
                    choices=["min_fused", "stacked"],
                    help="round-memory mode (config.EvalConfig)")
+    p.add_argument("--mask_stride", type=int, default=None,
+                   help="mask readback stride (config.EvalConfig): 2 "
+                        "quarters the dominant mask download — measured "
+                        "noise-level J&F cost at 480p (docs/QUALITY.md), "
+                        "round 34%% faster on a slow link")
+    p.add_argument("--gmap_refresh", type=float, default=None,
+                   help="leaky min-fusion fraction (config.EvalConfig); "
+                        "0 = reference-exact hard min (default), ~0.7 "
+                        "measured +0.011 AUC on churn-heavy tasks "
+                        "(docs/QUALITY.md round-4 study)")
     p.add_argument("--context_parallel", type=int, default=1,
                    help="shard the matching memory over this many devices "
                         "('context' mesh axis, all-gather-min combine); "
@@ -114,6 +124,10 @@ def main(argv=None):
         overrides["image_size"] = tuple(args.image_size)
     if args.matching_memory is not None:
         overrides["matching_memory"] = args.matching_memory
+    if args.mask_stride is not None:
+        overrides["mask_stride"] = args.mask_stride
+    if args.gmap_refresh is not None:
+        overrides["gmap_refresh"] = args.gmap_refresh
     cfg = dataclasses.replace(
         base, eval=dataclasses.replace(base.eval, **overrides),
         davis_root=args.davis_root)
