@@ -112,7 +112,10 @@ def test_gmap_refresh_settings_within_band(trained_eval_report):
     within a small band of each other — the knob is a mild deployment
     tweak, not a crutch. Measured on this stable tiny task:
     refresh=0 AUC ~0.61, refresh=0.7 ~0.62 (flagship churn task:
-    0.413 vs 0.424). Goes red if either setting collapses (e.g. the
+    0.413 vs 0.424 at the 3k/1k schedule; 0.602 vs 0.583 at the
+    round-5 10k/3.3k schedule — the sign flips with training length
+    but the gap stays well inside the 0.08 band, docs/QUALITY.md
+    round-5 study). Goes red if either setting collapses (e.g. the
     stage-2 leakage regression this round caught: training with the
     memory threaded drove the refresh=0.7 eval to 0.203 vs 0.250)."""
     import dataclasses
