@@ -291,8 +291,9 @@ def main(argv=None):
         "device_path_vs_baseline": round(device_path_fps
                                          / REF_GPU_PROP_FPS, 2),
         "device_busy_fraction": round(dev_round / p50, 3),
-        # configuration of record (docs/BENCHMARKS.md "bench config of
-        # record"): every JSON line states what it measured
+        # configuration of record (docs/BENCHMARKS.md "Bench configuration
+        # of record"): defaults measure the parity-exact config; every
+        # JSON line states what it measured
         "matching_backend": "pallas_int8" if args.matching_int8
                             else "pallas_bf16",
         "mask_stride": args.mask_stride,
