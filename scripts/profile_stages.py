@@ -37,6 +37,12 @@ def main(argv=None):
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--cpu_tiny", action="store_true",
                    help="tiny shapes on CPU (harness smoke, not a bench)")
+    p.add_argument("--int8", action="store_true",
+                   help="ALSO slope-time the int8 matching stage pair "
+                        "(prepare_ref_int8 + matching_int8) at the same "
+                        "shapes — the round-level device answer the "
+                        "chained-round differencing cannot resolve "
+                        "(docs/BENCHMARKS.md round-5 int8 section)")
     args = p.parse_args(argv)
 
     import jax
@@ -170,6 +176,28 @@ def main(argv=None):
         flops = 2.0 * q_all.shape[0] * nkb * DEFAULT_TK * ce
         timed(f"matching({t - 1}f)", match, q_all, per=t - 1,
               flops_it=flops)
+
+        if args.int8:
+            from cvpr2020_manet_tpu.ops.matching_pallas import (
+                global_matching_prepared_int8, prepare_ref_int8)
+
+            def prep8(e0):
+                b = prepare_ref_int8(e0.reshape(-1, ce), onehot)
+                return e0 + 0.0 * jnp.mean(
+                    b.pixels.astype(jnp.float32)).astype(e0.dtype), b.sqnorm
+
+            timed("prepare_ref_int8", prep8, emb[0])
+
+            bucketed8 = jax.jit(lambda e: prepare_ref_int8(
+                e.reshape(-1, ce), onehot))(emb[0])
+            jax.block_until_ready(bucketed8.pixels)
+
+            def match8(q):
+                out = global_matching_prepared_int8(q, bucketed8)
+                return q + (0.0 * out[:, :1]).astype(q.dtype), out
+
+            timed(f"matching_int8({t - 1}f)", match8, q_all, per=t - 1,
+                  flops_it=flops)
 
     # --- sweep scan minus matching (local + head + softmax) ------------ #
     head_fp = model.apply(variables, feat, method=model.head_feat_contrib)
